@@ -1,0 +1,93 @@
+"""SparseBatch: the full on-device sparse structure for one model invocation.
+
+Bundles the stride pyramid, pool maps and neighbor (kernel) maps that the
+backbone and decoder consume — the TPU equivalent of MinkowskiEngine's
+coordinate manager state that the reference builds implicitly on first use
+(`mask3d/models/mask3d.py:286-299`, `mask3d/models/res16unet.py:241-314`).
+
+Everything here is built inside jit from the collated base level; shapes are
+static (per-level capacities come from the collator's bucket config).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+from flax import struct
+
+from mask3d_tpu.sparse.core import (
+    SparseLevel,
+    PoolMap,
+    build_base_level,
+    build_pyramid,
+    cube_offsets,
+    neighbor_map,
+)
+
+
+class SparseBatch(struct.PyTreeNode):
+    """Sparse voxel pyramid + kernel maps for a batch.
+
+    levels[0] is stride 1 (finest); levels[i] has stride 2**i.
+    pools[i] relates levels[i] -> levels[i+1].
+    nbr_idx/nbr_ok[i] is the 3x3x3 kernel map of levels[i].
+    nbr0_idx/nbr0_ok is the input-conv kernel map of levels[0] (kernel size
+    `conv1_kernel_size`, reference `mask3d/conf/model/mask3d.yaml:36`).
+    """
+
+    levels: tuple  # tuple[SparseLevel, ...]
+    pools: tuple  # tuple[PoolMap, ...]
+    nbr_idx: tuple  # tuple[i32[B, N_l, 27], ...]
+    nbr_ok: tuple
+    nbr0_idx: jax.Array = None  # i32[B, N_0, k0^3]
+    nbr0_ok: jax.Array = None
+
+    @property
+    def batch_size(self) -> int:
+        return self.levels[0].batch_size
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.levels)
+
+
+def build_sparse_batch(
+    coords,
+    count,
+    dims,
+    level_capacities: Sequence[int],
+    conv1_kernel_size: int = 5,
+    build_block_maps: bool = True,
+) -> SparseBatch:
+    """Build the full sparse context from collated stride-1 voxels.
+
+    coords: i32[B, N, 3] sorted per item with padding at the end;
+    count: i32[B]; dims: i32[B, 3].
+    level_capacities: capacities of the coarser levels (len = num_levels-1).
+    """
+    base = build_base_level(coords, count, dims)
+    levels, pools = build_pyramid(base, level_capacities)
+    off3 = cube_offsets(1)
+    nbr_idx, nbr_ok = [], []
+    if build_block_maps:
+        for lv in levels:
+            i, o = neighbor_map(lv, off3)
+            nbr_idx.append(i)
+            nbr_ok.append(o)
+    nbr0_idx = nbr0_ok = None
+    if conv1_kernel_size is not None:
+        assert conv1_kernel_size % 2 == 1
+        if conv1_kernel_size == 3 and build_block_maps:
+            nbr0_idx, nbr0_ok = nbr_idx[0], nbr_ok[0]
+        else:
+            off0 = cube_offsets(conv1_kernel_size // 2)
+            nbr0_idx, nbr0_ok = neighbor_map(levels[0], off0)
+    return SparseBatch(
+        levels=tuple(levels),
+        pools=tuple(pools),
+        nbr_idx=tuple(nbr_idx),
+        nbr_ok=tuple(nbr_ok),
+        nbr0_idx=nbr0_idx,
+        nbr0_ok=nbr0_ok,
+    )

@@ -1,0 +1,259 @@
+"""Core sparse-voxel data structures and kernel-map construction.
+
+TPU-native equivalent of MinkowskiEngine's coordinate manager (reference:
+consumed via `mask3d/models/modules/common.py` and
+`mask3d/datasets/utils.py:249-255`). Instead of a GPU hash map, each level
+keeps its voxels sorted by a linearized int32 key and resolves neighbor
+lookups with vectorized binary search (`jnp.searchsorted`) — fully jittable,
+static shapes throughout.
+
+Batched layout
+--------------
+A batch is a stack of per-item padded voxel sets: every array has a leading
+batch axis `B` and a fixed per-item capacity `N` (rows `[count_b:]` of item b
+are padding). This differs deliberately from MinkowskiEngine's flat
+concatenated layout (reference `mask3d/datasets/utils.py:126`
+`sparse_collate` with a batch-index column): with equal per-item capacity,
+
+- every dense compute op is a single batched matmul (ideal MXU shapes),
+- per-item decomposition (`decomposed_features` in the reference,
+  `mask3d/models/mask3d.py:266,397`) is free — it's just the layout,
+- data parallelism is plain `jax.sharding` over axis 0; no shard_map needed.
+
+Layout invariants per item
+--------------------------
+- Coordinates are non-negative voxel coords in units of the level's stride;
+  `dims` is the per-item grid extent at this level.
+- Rows are sorted ascending by `key = (x*Dy + y)*Dz + z`. Padding rows carry
+  key INT32_MAX and coords 0.
+- The host collator guarantees `Dx*Dy*Dz < 2**31` so int32 keys never
+  overflow (checked in `mask3d_tpu/data/collate.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+INT32_MAX = np.int32(2**31 - 1)
+
+
+def cube_offsets(radius: int) -> np.ndarray:
+    """All integer offsets of a cubic kernel with given radius.
+
+    Enumeration order is x-major / z-fastest; `kernel_size = 2*radius + 1`.
+    This is the weight-index convention used by every `sparse_conv` in this
+    framework (the reference's ME kernel enumeration differs, which is
+    irrelevant since models are trained from scratch).
+    """
+    r = np.arange(-radius, radius + 1, dtype=np.int32)
+    x, y, z = np.meshgrid(r, r, r, indexing="ij")
+    return np.stack([x.ravel(), y.ravel(), z.ravel()], axis=-1)
+
+
+def pack_keys(coords, dims):
+    """Linearize (x, y, z) into a single int32 sort key."""
+    return (coords[..., 0] * dims[..., 1] + coords[..., 1]) * dims[
+        ..., 2
+    ] + coords[..., 2]
+
+
+class SparseLevel(struct.PyTreeNode):
+    """One resolution level of a batched sparse voxel set.
+
+    All arrays carry a leading batch axis B; N is the per-item capacity.
+    """
+
+    key: jax.Array  # i32[B, N] sorted ascending per item, padding = INT32_MAX
+    coords: jax.Array  # i32[B, N, 3] in units of this level's stride, pad 0
+    valid: jax.Array  # bool[B, N]
+    count: jax.Array  # i32[B] number of real rows per item
+    dims: jax.Array  # i32[B, 3] per-item grid extent at this level
+    stride: int = struct.field(pytree_node=False)
+
+    @property
+    def batch_size(self) -> int:
+        return self.key.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.key.shape[-1]
+
+
+class PoolMap(struct.PyTreeNode):
+    """Parent/child relation between a fine level and its stride-2 coarse level.
+
+    Each fine voxel has exactly one parent coarse voxel (`parent`, a row index
+    within the same item's coarse level; padding rows point at
+    `coarse_capacity`, which segment ops drop) and a kernel position `kidx`
+    in 0..7 encoding which of the 2x2x2 children it is. This single relation
+    serves stride-2 convolution, transposed convolution and average pooling —
+    the TPU equivalent of ME's cached stride-2 kernel maps used by
+    `mask3d/models/res16unet.py` convs and the coordinate-pyramid pooling at
+    `mask3d/models/mask3d.py:286-299`.
+    """
+
+    parent: jax.Array  # i32[B, N_fine]
+    kidx: jax.Array  # i32[B, N_fine] in [0, 8)
+    nchild: jax.Array  # i32[B, N_coarse] number of existing children
+    overflow: jax.Array  # bool[B] true if coarse capacity was exceeded
+
+
+def build_base_level(coords, count, dims) -> SparseLevel:
+    """Wrap collated, already-sorted stride-1 voxels into a SparseLevel.
+
+    `coords` i32[B, N, 3] must be sorted by key per item with padding rows at
+    the end (the host collator produces exactly this, mirroring the sorted
+    output of `np.unique` in the reference `mask3d/datasets/utils.py:106`).
+    """
+    coords = jnp.asarray(coords, jnp.int32)
+    count = jnp.asarray(count, jnp.int32)
+    dims = jnp.asarray(dims, jnp.int32)
+    b, n = coords.shape[0], coords.shape[1]
+    rows = jnp.arange(n, dtype=jnp.int32)[None, :]
+    valid = rows < count[:, None]
+    coords = jnp.where(valid[..., None], coords, 0)
+    key = jnp.where(valid, pack_keys(coords, dims[:, None, :]), INT32_MAX)
+    return SparseLevel(
+        key=key, coords=coords, valid=valid, count=count, dims=dims, stride=1
+    )
+
+
+def _downsample_item(key, coords, valid, dims, capacity: int):
+    """Single-item core of `downsample_level` (vmapped over the batch)."""
+    n = key.shape[0]
+    dims_next = ((dims - 1) >> 1) + 1
+    coarse_coords_per_row = coords >> 1
+    child_key = jnp.where(
+        valid, pack_keys(coarse_coords_per_row, dims_next), INT32_MAX
+    )
+    order = jnp.argsort(child_key)
+    sorted_key = child_key[order]
+
+    is_real = sorted_key != INT32_MAX
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]]
+    )
+    new_flag = is_real & first
+    # Position of each sorted fine row's parent within the coarse level.
+    pos = jnp.cumsum(new_flag.astype(jnp.int32)) - 1
+    count_next = jnp.sum(new_flag.astype(jnp.int32))
+    overflow = count_next > capacity
+
+    # Scatter coarse rows (ascending keys by construction => sorted level).
+    write_pos = jnp.where(new_flag, pos, capacity)
+    coarse_key = (
+        jnp.full((capacity,), INT32_MAX, jnp.int32)
+        .at[write_pos]
+        .set(sorted_key, mode="drop")
+    )
+    coarse_coords = (
+        jnp.zeros((capacity, 3), jnp.int32)
+        .at[write_pos]
+        .set(coarse_coords_per_row[order], mode="drop")
+    )
+    coarse_valid = jnp.arange(capacity, dtype=jnp.int32) < jnp.minimum(
+        count_next, capacity
+    )
+
+    # Parent row per fine row, in original fine order. Padding rows (and rows
+    # whose parent overflowed the capacity) point at `capacity` so that
+    # segment reductions drop them.
+    parent_sorted = jnp.where(is_real & (pos < capacity), pos, capacity)
+    parent = jnp.zeros((n,), jnp.int32).at[order].set(parent_sorted)
+
+    kidx = (
+        (coords[:, 0] & 1) * 4 + (coords[:, 1] & 1) * 2 + (coords[:, 2] & 1)
+    )
+    nchild = jax.ops.segment_sum(
+        valid.astype(jnp.int32), parent, num_segments=capacity
+    )
+    return (
+        coarse_key,
+        coarse_coords,
+        coarse_valid,
+        jnp.minimum(count_next, capacity),
+        dims_next,
+        parent,
+        kidx,
+        nchild,
+        overflow,
+    )
+
+
+def downsample_level(level: SparseLevel, capacity: int):
+    """Build the stride-2 coarse level and the fine->coarse PoolMap.
+
+    Coarse coordinates are the unique values of `fine_coords >> 1`, matching
+    MinkowskiEngine's stride-2 output coordinate generation (consumed by
+    `conv1p1s2` etc. in `mask3d/models/res16unet.py:55-137`).
+    """
+    out = jax.vmap(functools.partial(_downsample_item, capacity=capacity))(
+        level.key, level.coords, level.valid, level.dims
+    )
+    (ckey, ccoords, cvalid, ccount, cdims, parent, kidx, nchild, ovf) = out
+    coarse = SparseLevel(
+        key=ckey,
+        coords=ccoords,
+        valid=cvalid,
+        count=ccount,
+        dims=cdims,
+        stride=level.stride * 2,
+    )
+    pool = PoolMap(parent=parent, kidx=kidx, nchild=nchild, overflow=ovf)
+    return coarse, pool
+
+
+def build_pyramid(base: SparseLevel, capacities):
+    """Build the full stride pyramid [s1, s2, s4, ...] plus pool maps.
+
+    `capacities[i]` is the static per-item row capacity of level i+1. Returns
+    (levels, pools) with `len(levels) == len(capacities) + 1` and `pools[i]`
+    relating `levels[i]` to `levels[i+1]`.
+    """
+    levels = [base]
+    pools = []
+    for cap in capacities:
+        coarse, pool = downsample_level(levels[-1], cap)
+        levels.append(coarse)
+        pools.append(pool)
+    return levels, pools
+
+
+def _neighbor_map_item(key, coords, valid, dims, offsets, chunk: int):
+    idx_parts, ok_parts = [], []
+    n = key.shape[0]
+    for s in range(0, offsets.shape[0], chunk):
+        offs = jnp.asarray(offsets[s : s + chunk], jnp.int32)
+        ncoords = coords[:, None, :] + offs[None, :, :]
+        in_bounds = (
+            jnp.all((ncoords >= 0) & (ncoords < dims), axis=-1)
+            & valid[:, None]
+        )
+        nkey = jnp.where(in_bounds, pack_keys(ncoords, dims), INT32_MAX)
+        idx = jnp.searchsorted(key, nkey, side="left").astype(jnp.int32)
+        idx = jnp.minimum(idx, n - 1)
+        ok = in_bounds & (key[idx] == nkey)
+        idx_parts.append(idx)
+        ok_parts.append(ok)
+    return jnp.concatenate(idx_parts, axis=1), jnp.concatenate(ok_parts, axis=1)
+
+
+def neighbor_map(level: SparseLevel, offsets: np.ndarray, chunk: int = 32):
+    """Kernel map for a same-stride conv: per output row, the input row at
+    coords + offset (or invalid).
+
+    Returns (idx i32[B, N, K], ok bool[B, N, K]). Built with vectorized
+    binary search over each item's sorted keys; `chunk` bounds transient
+    memory for large kernels (e.g. the 5^3 input conv, reference
+    `mask3d/conf/model/mask3d.yaml:36` conv1_kernel_size: 5).
+    """
+    fn = functools.partial(
+        _neighbor_map_item, offsets=offsets, chunk=chunk
+    )
+    return jax.vmap(fn)(level.key, level.coords, level.valid, level.dims)
