@@ -1,0 +1,441 @@
+"""Mask3D: instance-query transformer decoder over sparse voxel features.
+
+Capability-parity rebuild of the reference model (`mask3d/models/mask3d.py:73-561`):
+FPS-initialized instance queries iteratively refined by masked cross-attention
+over multi-scale backbone features, with a mask module emitting per-point mask
+logits + class logits after every refinement (deep supervision).
+
+TPU design notes
+----------------
+- The reference loops over batch items everywhere (decomposed_features,
+  per-item FPS/PE/sampling, `mask3d.py:261-278,309-317,400-465`); here every
+  stage is batched over the `[B, N]` padded layout — per-item decomposition
+  is the memory layout itself.
+- Cross-attention memory is subsampled to the static `sample_sizes` per
+  level during training exactly like the reference (`mask3d.py:400-441` —
+  the reference already uses fixed-size padded sampling, which is precisely
+  the XLA static-shape pattern); at eval the full (static-capacity) level is
+  used with padding masks.
+- The mask module's per-item `feats @ mask_embed.T` loop (`mask3d.py:534-537`)
+  becomes one batched einsum `[B,N,D] x [B,Q,D] -> [B,N,Q]` (MXU).
+- Attention-mask pooling to coarser levels rides the octree PoolMaps
+  (reference: repeated MinkowskiAvgPooling, `mask3d.py:546-547`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from mask3d_tpu.models.backbone import BACKBONES
+from mask3d_tpu.models.posenc import (
+    fourier_embeddings,
+    make_gauss_b,
+    sine_embeddings,
+)
+from mask3d_tpu.ops.fps import furthest_point_sample
+from mask3d_tpu.sparse.context import SparseBatch
+from mask3d_tpu.sparse.ops import avg_pool
+
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+class Mask3DOutput(struct.PyTreeNode):
+    """Model output (reference `ModelOutput`, `mask3d/models/mask3d.py:28-70`).
+
+    `aux_*` stack ALL mask-module outputs in emission order; the final
+    prediction is the last entry (index -1), the first L-1 entries are the
+    auxiliary deep-supervision outputs.
+    """
+
+    aux_pred_class: jax.Array  # f32[L, B, Q, C+1]
+    aux_pred_masks: jax.Array  # f32[L, B, N1, Q]
+    sampled_coords: Optional[jax.Array]  # f32[B, Q, 3] (FPS query positions)
+    backbone_feats: Optional[jax.Array]  # [B, N1, C_bb]
+
+    @property
+    def pred_class(self):
+        return self.aux_pred_class[-1]
+
+    @property
+    def pred_masks(self):
+        return self.aux_pred_masks[-1]
+
+
+class MultiheadAttention(nn.Module):
+    """Standard MHA with a boolean block-mask (True = do not attend)."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v, mask=None):
+        d, h = self.d_model, self.num_heads
+        hd = d // h
+        wq = nn.Dense(d, kernel_init=_XAVIER, name="q")(q)
+        wk = nn.Dense(d, kernel_init=_XAVIER, name="k")(k)
+        wv = nn.Dense(d, kernel_init=_XAVIER, name="v")(v)
+
+        def split(x):
+            return x.reshape(x.shape[:-1] + (h, hd))
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", split(wq), split(wk))
+        logits = logits / jnp.sqrt(jnp.float32(hd)).astype(logits.dtype)
+        if mask is not None:
+            # mask: [B, Lq, Lk] -> broadcast over heads
+            logits = jnp.where(mask[:, None], jnp.float32(-1e9), logits)
+        att = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, split(wv))
+        out = out.reshape(out.shape[:2] + (d,))
+        return nn.Dense(d, kernel_init=_XAVIER, name="out")(out)
+
+
+class CrossAttentionLayer(nn.Module):
+    """Reference `mask3d/models/mask3d.py:658-747` (post-norm default)."""
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(self, tgt, memory, memory_mask, pos, query_pos,
+                 deterministic=True):
+        attn = MultiheadAttention(self.d_model, self.num_heads)
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        norm = nn.LayerNorm()
+        if self.pre_norm:
+            t2 = norm(tgt)
+            t2 = attn(t2 + query_pos, memory + pos, memory, memory_mask)
+            return tgt + drop(t2)
+        t2 = attn(tgt + query_pos, memory + pos, memory, memory_mask)
+        return norm(tgt + drop(t2))
+
+
+class SelfAttentionLayer(nn.Module):
+    """Reference `mask3d/models/mask3d.py:596-655`."""
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, deterministic=True):
+        attn = MultiheadAttention(self.d_model, self.num_heads)
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        norm = nn.LayerNorm()
+        if self.pre_norm:
+            t2 = norm(tgt)
+            t2 = attn(t2 + query_pos, t2 + query_pos, t2)
+            return tgt + drop(t2)
+        t2 = attn(tgt + query_pos, tgt + query_pos, tgt)
+        return norm(tgt + drop(t2))
+
+
+class FFNLayer(nn.Module):
+    """Reference `mask3d/models/mask3d.py:750-795`."""
+
+    d_model: int
+    dim_feedforward: int
+    dropout: float = 0.0
+    pre_norm: bool = False
+
+    @nn.compact
+    def __call__(self, tgt, deterministic=True):
+        lin1 = nn.Dense(self.dim_feedforward, kernel_init=_XAVIER)
+        lin2 = nn.Dense(self.d_model, kernel_init=_XAVIER)
+        drop = nn.Dropout(self.dropout, deterministic=deterministic)
+        norm = nn.LayerNorm()
+        if self.pre_norm:
+            t2 = norm(tgt)
+            t2 = lin2(drop(nn.relu(lin1(t2))))
+            return tgt + drop(t2)
+        t2 = lin2(drop(nn.relu(lin1(tgt))))
+        return norm(tgt + drop(t2))
+
+
+def _masked_minmax(coords, valid):
+    """Per-item min/max over valid rows. coords [B, N, 3], valid [B, N]."""
+    big = jnp.float32(1e9)
+    c = coords.astype(jnp.float32)
+    mins = jnp.min(jnp.where(valid[..., None], c, big), axis=1)
+    maxs = jnp.max(jnp.where(valid[..., None], c, -big), axis=1)
+    # Degenerate (empty) items: collapse to zeros.
+    any_valid = jnp.any(valid, axis=1)[:, None]
+    return (
+        jnp.where(any_valid, mins, 0.0),
+        jnp.where(any_valid, maxs, 0.0),
+    )
+
+
+class Mask3D(nn.Module):
+    """The flagship model. Field defaults mirror `mask3d/conf/model/mask3d.yaml`."""
+
+    num_classes: int = 1
+    hidden_dim: int = 128
+    dim_feedforward: int = 1024
+    num_queries: int = 25
+    num_heads: int = 8
+    num_decoders: int = 3
+    dropout: float = 0.0
+    pre_norm: bool = False
+    use_level_embed: bool = False
+    normalize_pos_enc: bool = True
+    positional_encoding_type: str = "fourier"
+    gauss_scale: float = 1.0
+    hlevels: Sequence[int] = (0, 1, 2, 3)
+    non_parametric_queries: bool = True
+    random_query_both: bool = False
+    random_normal: bool = False
+    random_queries: bool = False
+    use_np_features: bool = False
+    sample_sizes: Sequence[int] = (200, 800, 3200, 12800, 51200)
+    max_sample_size: bool = False
+    shared_decoder: bool = True
+    backbone_name: str = "Res16UNet34C"
+    in_channels: int = 1
+    conv1_kernel_size: int = 5
+    compute_dtype: Optional[Any] = None
+
+    def _pos_enc(self, xyz, mins, maxs, gauss_b):
+        if self.positional_encoding_type == "fourier":
+            return fourier_embeddings(
+                xyz, gauss_b, mins, maxs, normalize=self.normalize_pos_enc
+            )
+        elif self.positional_encoding_type == "sine":
+            return sine_embeddings(
+                xyz, self.hidden_dim, mins, maxs,
+                normalize=self.normalize_pos_enc,
+            )
+        raise ValueError(self.positional_encoding_type)
+
+    @nn.compact
+    def __call__(self, sb: SparseBatch, feats, raw_coords, is_eval=False
+                 ) -> Mask3DOutput:
+        """feats: [B, N1, in_channels]; raw_coords: f32[B, N1, 3] (the voxel
+        coordinates as floats, the reference's `input_batch.coordinates[:,1:4]`
+        used as PE/FPS positions, `mask3d/models/mask3d.py:286-294`)."""
+        D = self.hidden_dim
+        B = feats.shape[0]
+        Q = self.num_queries
+        n_levels = sb.num_levels  # 5
+
+        backbone = BACKBONES[self.backbone_name](
+            in_channels=self.in_channels,
+            conv1_kernel_size=self.conv1_kernel_size,
+            compute_dtype=self.compute_dtype,
+            name="backbone",
+        )
+        bb_out, feature_maps = backbone(feats, sb)
+        # feature_maps: [s16, s8, s4, s2, s1]; sparse level of fm[i] = 4-i.
+        fm_level = [n_levels - 1 - i for i in range(n_levels)]
+
+        # --- Coordinate pyramid (reference mask3d.py:286-299) ---
+        coords_pyr = [jax.lax.stop_gradient(raw_coords.astype(jnp.float32))]
+        for i, pool in enumerate(sb.pools):
+            coords_pyr.append(
+                avg_pool(coords_pyr[-1], pool, sb.levels[i + 1].capacity)
+            )
+
+        gauss_b = self.variable(
+            "buffers",
+            "gauss_B",
+            lambda: make_gauss_b(
+                self.make_rng("params"), D, self.gauss_scale
+            ),
+        ).value
+
+        # Positional encodings per sparse level (reference get_pos_encs).
+        pe_pyr = []
+        minmax_pyr = []
+        for li in range(n_levels):
+            mins, maxs = _masked_minmax(coords_pyr[li], sb.levels[li].valid)
+            minmax_pyr.append((mins, maxs))
+            pe_pyr.append(
+                self._pos_enc(coords_pyr[li], mins, maxs, gauss_b)
+            )
+
+        # --- Mask features head (reference mask3d.py:129-136,303) ---
+        mask_feats = nn.Dense(D, name="mask_features_head")(bb_out)
+        mask_feats = jnp.where(sb.levels[0].valid[..., None], mask_feats, 0)
+
+        # --- Query initialization (reference mask3d.py:306-376) ---
+        sampled_coords = None
+        if self.non_parametric_queries:
+            fps_idx = furthest_point_sample(
+                coords_pyr[0], sb.levels[0].valid, Q
+            )
+            sampled_coords = jnp.take_along_axis(
+                coords_pyr[0], fps_idx[..., None], axis=1
+            )
+            mins, maxs = minmax_pyr[0]
+            qp = self._pos_enc(sampled_coords, mins, maxs, gauss_b)
+            # GenericMLP query projection (helpers_3detr.py:45-113 with
+            # hidden_use_bias=True, output_use_activation=True)
+            qp = nn.relu(nn.Dense(D, name="query_proj_hidden")(qp))
+            query_pos = nn.relu(nn.Dense(D, name="query_proj_out")(qp))
+            if self.use_np_features:
+                np_feats = jnp.take_along_axis(
+                    bb_out, fps_idx[..., None], axis=1
+                )
+                queries = nn.Dense(D, name="np_proj_out")(
+                    nn.relu(nn.Dense(D, name="np_proj_hidden")(np_feats))
+                )
+            else:
+                queries = jnp.zeros_like(query_pos)
+        elif self.random_queries:
+            key = self.make_rng("queries")
+            query_pos = jax.random.uniform(key, (B, Q, D)) - 0.5
+            queries = jnp.zeros_like(query_pos)
+        elif self.random_query_both:
+            key = self.make_rng("queries")
+            if self.random_normal:
+                qpf = jax.random.normal(key, (B, Q, 2 * D))
+            else:
+                qpf = jax.random.uniform(key, (B, Q, 2 * D)) - 0.5
+            queries, query_pos = qpf[..., :D], qpf[..., D:]
+        else:  # parametric queries
+            qf = self.param("query_feat", nn.initializers.normal(1.0), (Q, D))
+            qpp = self.param("query_pos", nn.initializers.normal(1.0), (Q, D))
+            queries = jnp.tile(qf[None], (B, 1, 1))
+            query_pos = jnp.tile(qpp[None], (B, 1, 1))
+
+        if self.use_level_embed:
+            level_embed = self.param(
+                "level_embed", nn.initializers.normal(1.0),
+                (len(self.hlevels), D),
+            )
+
+        # --- Shared decoder modules (reference mask3d.py:211-259) ---
+        num_shared = 1 if self.shared_decoder else self.num_decoders
+        cross, self_att, ffns, squeeze = [], [], [], []
+        for d in range(num_shared):
+            cross.append([
+                CrossAttentionLayer(D, self.num_heads, self.dropout,
+                                    self.pre_norm, name=f"cross_{d}_{i}")
+                for i in range(len(self.hlevels))
+            ])
+            self_att.append([
+                SelfAttentionLayer(D, self.num_heads, self.dropout,
+                                   self.pre_norm, name=f"self_{d}_{i}")
+                for i in range(len(self.hlevels))
+            ])
+            ffns.append([
+                FFNLayer(D, self.dim_feedforward, self.dropout,
+                         self.pre_norm, name=f"ffn_{d}_{i}")
+                for i in range(len(self.hlevels))
+            ])
+            squeeze.append([
+                nn.Dense(D, kernel_init=_XAVIER, name=f"squeeze_{d}_{i}")
+                for i in range(len(self.hlevels))
+            ])
+
+        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        mask_embed_hidden = nn.Dense(D, name="mask_embed_hidden")
+        mask_embed_out = nn.Dense(D, name="mask_embed_out")
+        class_embed = nn.Dense(self.num_classes + 1, name="class_embed_head")
+
+        def mask_module(qs, num_pooling_steps, ret_attn=True):
+            """Reference mask3d.py:520-561."""
+            qn = decoder_norm(qs)
+            mask_embed = mask_embed_out(nn.relu(mask_embed_hidden(qn)))
+            out_class = class_embed(qn)
+            out_masks = jnp.einsum(
+                "bnd,bqd->bnq", mask_feats, mask_embed,
+                preferred_element_type=jnp.float32,
+            )
+            if not ret_attn:
+                return out_class, out_masks, None
+            pooled = jax.lax.stop_gradient(out_masks)
+            for k in range(num_pooling_steps):
+                pooled = avg_pool(
+                    pooled, sb.pools[k], sb.levels[k + 1].capacity
+                )
+            attn_bool = jax.nn.sigmoid(pooled) < 0.5  # True = blocked
+            return out_class, out_masks, attn_bool
+
+        deterministic = is_eval or self.dropout == 0.0
+
+        predictions_class = []
+        predictions_masks = []
+        for dec in range(self.num_decoders):
+            d = 0 if self.shared_decoder else dec
+            for li, hlevel in enumerate(self.hlevels):
+                lvl = fm_level[hlevel]  # sparse level index of this map
+                out_class, out_masks, attn_bool = mask_module(
+                    queries, num_pooling_steps=lvl, ret_attn=True
+                )
+                level = sb.levels[lvl]
+                feats_l = feature_maps[hlevel]
+
+                # Memory sampling (reference mask3d.py:400-441). Static
+                # sample size: eval uses the full padded level; train caps at
+                # sample_sizes[hlevel].
+                cap = level.capacity
+                if self.max_sample_size or is_eval:
+                    S = cap
+                else:
+                    S = min(cap, int(self.sample_sizes[hlevel]))
+                if S == cap:
+                    sample_idx = jnp.tile(
+                        jnp.arange(cap, dtype=jnp.int32)[None], (B, 1)
+                    )
+                else:
+                    r = jax.random.uniform(
+                        self.make_rng("sample"), (B, cap)
+                    )
+                    r = jnp.where(level.valid, r, 2.0)
+                    sample_idx = jnp.argsort(r, axis=-1)[:, :S].astype(
+                        jnp.int32
+                    )
+                pos_in_sample = jnp.arange(S, dtype=jnp.int32)[None]
+                pad = pos_in_sample >= jnp.minimum(level.count, S)[:, None]
+
+                kv = jnp.take_along_axis(
+                    feats_l, sample_idx[..., None], axis=1
+                )
+                pe_s = jnp.take_along_axis(
+                    pe_pyr[lvl], sample_idx[..., None], axis=1
+                )
+                attn_s = jnp.take_along_axis(
+                    attn_bool, sample_idx[..., None], axis=1
+                )  # [B, S, Q]
+
+                # Un-mask queries whose mask blocks every sampled point
+                # (reference mask3d.py:456).
+                all_blocked = jnp.sum(attn_s, axis=1) == S  # [B, Q]
+                attn_s = jnp.where(all_blocked[:, None, :], False, attn_s)
+                attn_s = attn_s | pad[..., None]
+                mem_mask = jnp.transpose(attn_s, (0, 2, 1))  # [B, Q, S]
+
+                src = squeeze[d][li](kv)
+                if self.use_level_embed:
+                    src = src + level_embed[li]
+
+                queries = cross[d][li](
+                    queries, src, mem_mask, pe_s, query_pos,
+                    deterministic=deterministic,
+                )
+                queries = self_att[d][li](
+                    queries, query_pos, deterministic=deterministic
+                )
+                queries = ffns[d][li](queries, deterministic=deterministic)
+
+                predictions_class.append(out_class)
+                predictions_masks.append(out_masks)
+
+        out_class, out_masks, _ = mask_module(queries, 0, ret_attn=False)
+        predictions_class.append(out_class)
+        predictions_masks.append(out_masks)
+
+        return Mask3DOutput(
+            aux_pred_class=jnp.stack(predictions_class),
+            aux_pred_masks=jnp.stack(predictions_masks),
+            sampled_coords=sampled_coords,
+            backbone_feats=bb_out,
+        )

@@ -1,0 +1,14 @@
+"""Standalone numeric ops: FPS, LSAP (Hungarian) matching, DBSCAN.
+
+TPU-native replacements for the reference's native kernels and SciPy/sklearn
+dependencies (SURVEY.md §2.2 N2/N5/N6):
+- `fps`    — furthest-point sampling (replaces pointnet2 `_ext` CUDA,
+             `mask3d/third_party/pointnet2/_ext_src/src/sampling_gpu.cu`)
+- `lsap`   — linear sum assignment on device (replaces
+             `scipy.optimize.linear_sum_assignment`, `mask3d/models/matcher.py:170`)
+- `dbscan` — host-side density clustering (replaces sklearn DBSCAN,
+             `mask3d/trainer/trainer.py:75`)
+"""
+
+from mask3d_tpu.ops.fps import furthest_point_sample  # noqa: F401
+from mask3d_tpu.ops.lsap import linear_sum_assignment  # noqa: F401

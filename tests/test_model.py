@@ -1,0 +1,167 @@
+"""Model-level tests: backbone + Mask3D decoder forward/backward sanity.
+
+Shapes are tiny so the whole graph runs quickly on the CPU test backend; the
+structural assertions mirror the reference model contract
+(`mask3d/models/mask3d.py:280-518`).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mask3d_tpu.models import Mask3D
+from mask3d_tpu.models.backbone import Res16UNet14A
+from mask3d_tpu.sparse import build_sparse_batch
+
+
+def make_scene_batch(rng, B=2, N=256, dims=(24, 24, 12)):
+    coords = np.zeros((B, N, 3), np.int32)
+    counts = np.zeros(B, np.int32)
+    for b in range(B):
+        # Surface-like points (a floor plane + walls) so levels merge well.
+        n = rng.integers(N // 2, N - 10)
+        pts = np.stack(
+            [
+                rng.integers(0, dims[0], n),
+                rng.integers(0, dims[1], n),
+                np.minimum(rng.integers(0, 4, n), dims[2] - 1),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        pts = np.unique(pts, axis=0)
+        key = (pts[:, 0] * dims[1] + pts[:, 1]) * dims[2] + pts[:, 2]
+        pts = pts[np.argsort(key)]
+        coords[b, : len(pts)] = pts
+        counts[b] = len(pts)
+    dims_arr = np.tile(np.array(dims, np.int32), (B, 1))
+    return coords, counts, dims_arr
+
+
+SMALL_KW = dict(
+    num_classes=1,
+    hidden_dim=32,
+    dim_feedforward=64,
+    num_queries=5,
+    num_heads=4,
+    num_decoders=2,
+    sample_sizes=(8, 16, 32, 64, 128),
+    backbone_name="Res16UNet14A",
+    conv1_kernel_size=3,
+)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    rng = np.random.default_rng(7)
+    coords, counts, dims = make_scene_batch(rng)
+    sb = build_sparse_batch(
+        coords, counts, dims,
+        level_capacities=[128, 64, 32, 16],
+        conv1_kernel_size=3,
+    )
+    B, N = coords.shape[:2]
+    feats = jnp.ones((B, N, 1), jnp.float32)
+    raw = jnp.asarray(coords, jnp.float32)
+    return sb, feats, raw
+
+
+def test_backbone_shapes(scene):
+    sb, feats, _ = scene
+    model = Res16UNet14A(in_channels=1, conv1_kernel_size=3)
+    params = model.init(jax.random.PRNGKey(0), feats, sb)
+    out, fmaps = model.apply(params, feats, sb)
+    assert out.shape == (2, 256, 96)  # PLANES[7]
+    assert [f.shape[1] for f in fmaps] == [16, 32, 64, 128, 256]
+    assert [f.shape[2] for f in fmaps] == [256, 128, 128, 96, 96]
+    for f in fmaps:
+        assert np.isfinite(np.asarray(f)).all()
+    # Padding rows stay zero at stride-1 output.
+    v = np.asarray(sb.levels[0].valid)
+    assert np.abs(np.asarray(out)[~v]).max() == 0
+
+
+def test_mask3d_forward_train_and_eval(scene):
+    sb, feats, raw = scene
+    model = Mask3D(**SMALL_KW)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        sb, feats, raw, False,
+    )
+    out = model.apply(
+        variables, sb, feats, raw, False,
+        rngs={"sample": jax.random.PRNGKey(2)},
+    )
+    L = SMALL_KW["num_decoders"] * 4 + 1
+    assert out.aux_pred_class.shape == (L, 2, 5, 2)
+    assert out.aux_pred_masks.shape == (L, 2, 256, 5)
+    assert out.sampled_coords.shape == (2, 5, 3)
+    assert np.isfinite(np.asarray(out.aux_pred_class)).all()
+    assert np.isfinite(np.asarray(out.aux_pred_masks)).all()
+
+    # Eval mode needs no sample rng and is deterministic.
+    e1 = model.apply(variables, sb, feats, raw, True)
+    e2 = model.apply(variables, sb, feats, raw, True)
+    np.testing.assert_array_equal(
+        np.asarray(e1.pred_masks), np.asarray(e2.pred_masks)
+    )
+
+
+def test_mask3d_gradients_flow(scene):
+    sb, feats, raw = scene
+    model = Mask3D(**SMALL_KW)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        sb, feats, raw, False,
+    )
+    params = variables["params"]
+    buffers = {"buffers": variables["buffers"]}
+
+    def loss_fn(p):
+        out = model.apply(
+            {"params": p, **buffers}, sb, feats, raw, False,
+            rngs={"sample": jax.random.PRNGKey(3)},
+        )
+        v = sb.levels[0].valid
+        return jnp.sum(
+            jnp.where(v[None, ..., None], out.aux_pred_masks, 0) ** 2
+        ) + jnp.sum(out.aux_pred_class**2)
+
+    grads = jax.grad(loss_fn)(params)
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    nonzero = sum(bool(np.abs(np.asarray(g)).sum() > 0) for g in flat)
+    # The vast majority of parameters must receive gradient (all 13 outputs
+    # supervise every decoder layer + backbone).
+    assert nonzero / len(flat) > 0.9, f"only {nonzero}/{len(flat)} grads nonzero"
+    for g in flat:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+def test_parametric_and_random_queries(scene):
+    sb, feats, raw = scene
+    for kw in (
+        dict(non_parametric_queries=False),
+        dict(non_parametric_queries=False, random_queries=True),
+        dict(
+            non_parametric_queries=False,
+            random_query_both=True,
+            random_normal=True,
+        ),
+    ):
+        model = Mask3D(**{**SMALL_KW, **kw})
+        variables = model.init(
+            {
+                "params": jax.random.PRNGKey(0),
+                "sample": jax.random.PRNGKey(1),
+                "queries": jax.random.PRNGKey(2),
+            },
+            sb, feats, raw, False,
+        )
+        out = model.apply(
+            variables, sb, feats, raw, False,
+            rngs={
+                "sample": jax.random.PRNGKey(3),
+                "queries": jax.random.PRNGKey(4),
+            },
+        )
+        assert np.isfinite(np.asarray(out.pred_masks)).all()
