@@ -1,0 +1,244 @@
+"""Configuration tree mirroring the reference's Hydra config groups.
+
+The reference uses Hydra 1.3 with a defaults list of config groups
+(`mask3d/conf/config_base_instance_segmentation.yaml:56-74`) and CLI override
+strings (`mask3d/README.md:17`). This module provides the same shape as
+frozen-ish dataclasses plus an override-string parser, so the reference's
+experiment launch scripts translate 1:1
+(`mask3d/experiment_launch_scripts/*.sh`).
+
+Defaults reproduce the shipped config values (file:line cited per field
+group).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+
+@dataclass
+class GeneralConfig:
+    """`conf/config_base_instance_segmentation.yaml:1-53`."""
+
+    train_mode: bool = True
+    task: str = "instance_segmentation"
+    seed: int = 1
+    checkpoint: Optional[str] = None
+    backbone_checkpoint: Optional[str] = None
+    freeze_backbone: bool = False
+    add_instance: bool = True
+    experiment_name: str = "TEST-EVAL"
+    experiment_id: Optional[str] = None
+    version: int = 1
+    debug_best_worst_scenes: bool = False
+    debug_mean_average_precision: bool = False
+    num_targets: int = 1
+    use_dbscan: bool = True
+    dbscan_eps: float = 1.0
+    dbscan_min_points: int = 10
+    filter_out_instances: bool = True
+    scores_threshold: float = 0.8
+    iou_threshold: float = 1.0
+    export_las: bool = False
+    export_freq: int = 250
+    reps_per_epoch: int = 1
+    export: bool = False
+    generic_export_score_threshold: float = 0.0001
+    topk_per_image: int = -1
+    ignore_mask_idx: Tuple[int, ...] = ()
+    save_dir: str = "saved"
+    accelerator: str = "tpu"
+
+
+@dataclass
+class DataConfig:
+    """`conf/data/indoor.yaml`."""
+
+    dataset: str = "structured3d"  # structured3d | s3dis | matterport3d
+    data_root: str = "/data/stru3d"
+    valid_scenes_file_path: Optional[str] = None
+    ignore_label: int = -1
+    add_colors: bool = False
+    add_normals: bool = False
+    in_channels: int = 1
+    num_labels: int = 1
+    batch_size: int = 16
+    test_batch_size: int = -1  # -1 -> batch_size
+    num_workers: int = 8
+    rasterization_factor: int = 150
+    prediction_label_offset: int = 1
+    data_fraction: float = 1.0
+    volume_augmentations: str = "stru3d"  # none | stru3d | s3dis | matterport3d
+    filter_out_classes: Tuple[int, ...] = ()
+    filter_out_instance_ids: Tuple[int, ...] = (-1, 0)
+    # TPU bucketing (no reference equivalent: static-shape padding control)
+    point_bucket_multiple: int = 4096
+    instance_bucket_multiple: int = 8
+    level_cap_ratios: Tuple[float, ...] = (0.5, 0.25, 0.125, 0.0625)
+
+
+@dataclass
+class ModelConfig:
+    """`conf/model/mask3d.yaml`."""
+
+    name: str = "Mask3D"
+    hidden_dim: int = 128
+    dim_feedforward: int = 1024
+    num_queries: int = 25
+    num_heads: int = 8
+    num_decoders: int = 3
+    dropout: float = 0.0
+    pre_norm: bool = False
+    use_level_embed: bool = False
+    normalize_pos_enc: bool = True
+    positional_encoding_type: str = "fourier"
+    gauss_scale: float = 1.0
+    hlevels: Tuple[int, ...] = (0, 1, 2, 3)
+    non_parametric_queries: bool = True
+    random_query_both: bool = False
+    random_normal: bool = False
+    random_queries: bool = False
+    use_np_features: bool = False
+    sample_sizes: Tuple[int, ...] = (200, 800, 3200, 12800, 51200)
+    max_sample_size: bool = False
+    shared_decoder: bool = True
+    num_classes: int = 1
+    scatter_type: str = "mean"
+    backbone: str = "Res16UNet34C"
+    conv1_kernel_size: int = 5
+    bn_momentum: float = 0.02
+    # TPU-specific: bf16 compute in the backbone matmuls
+    compute_dtype: Optional[str] = None
+
+
+@dataclass
+class MatcherConfig:
+    """`conf/matcher/hungarian_matcher.yaml`."""
+
+    cost_class: float = 2.0
+    cost_mask: float = 5.0
+    cost_dice: float = 2.0
+    num_points: int = -1
+    lsap_method: str = "device"
+
+
+@dataclass
+class LossConfig:
+    """`conf/loss/set_criterion.yaml`."""
+
+    eos_coef: float = 0.1
+    class_weights: Any = -1
+
+
+@dataclass
+class OptimizerConfig:
+    """`conf/optimizer/adamw.yaml`."""
+
+    name: str = "adamw"
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+
+
+@dataclass
+class SchedulerConfig:
+    """`conf/scheduler/exponentiallr.yaml`."""
+
+    name: str = "exponentiallr"
+    gamma: float = 0.99999
+    interval: str = "step"
+    max_lr: Optional[float] = None  # onecyclelr
+    steps_per_epoch: int = -1
+
+
+@dataclass
+class TrainerConfig:
+    """`conf/trainer/trainer.yaml`."""
+
+    deterministic: bool = True
+    max_epochs: int = 15000
+    min_epochs: int = 1
+    check_val_every_n_epoch: int = 1
+    num_sanity_val_steps: int = 0
+    # TPU-specific
+    num_data_parallel: int = 1
+    log_every_n_steps: int = 10
+
+
+@dataclass
+class Config:
+    general: GeneralConfig = field(default_factory=GeneralConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    matcher: MatcherConfig = field(default_factory=MatcherConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+
+
+def _coerce(value: str, current: Any) -> Any:
+    if value.lower() in ("null", "none"):
+        return None
+    if isinstance(current, bool) or value.lower() in ("true", "false"):
+        return value.lower() == "true"
+    if isinstance(current, tuple) or (
+        value.startswith("[") and value.endswith("]")
+    ):
+        inner = value.strip("[]")
+        if not inner:
+            return ()
+        parts = [p.strip() for p in inner.split(",")]
+        out = []
+        for p in parts:
+            try:
+                out.append(int(p))
+            except ValueError:
+                try:
+                    out.append(float(p))
+                except ValueError:
+                    out.append(p.strip("'\""))
+        return tuple(out)
+    if isinstance(current, int) and not isinstance(current, bool):
+        try:
+            return int(value)
+        except ValueError:
+            return float(value)
+    if isinstance(current, float):
+        return float(value)
+    return value
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply Hydra-style `a.b.c=value` override strings in place."""
+    for ov in overrides:
+        ov = ov.strip()
+        if not ov or ov.startswith("#"):
+            continue
+        key, _, value = ov.partition("=")
+        parts = key.strip().split(".")
+        obj = cfg
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        leaf = parts[-1]
+        if not hasattr(obj, leaf):
+            raise KeyError(f"unknown config key: {key}")
+        setattr(obj, leaf, _coerce(value.strip(), getattr(obj, leaf)))
+    return cfg
+
+
+def to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def flatten_dict(d: dict, parent: str = "", sep: str = "_") -> dict:
+    """Reference `mask3d/utils/utils.py:16-27` (logger hyperparams)."""
+    items = {}
+    for k, v in d.items():
+        nk = parent + sep + k if parent else k
+        if isinstance(v, dict):
+            items.update(flatten_dict(v, nk, sep))
+        else:
+            items[nk] = v
+    return items

@@ -1,0 +1,187 @@
+"""Voxelizing collation: item dicts -> static-shape padded batch.
+
+Rebuild of the reference `VoxelizeCollate` (`mask3d/datasets/utils.py:11-146`)
+and `create_batch_target` (`utils.py:286-329`) for the TPU layout:
+
+- float->int truncation of augmented coordinates (reference `utils.py:96`
+  `torch.from_numpy(...).int()`), per-item shift to non-negative,
+- duplicate-voxel removal keeping the first sorted occurrence (reference
+  `np.unique(..., return_index=True)` @ `utils.py:106`),
+- per-item sort by linearized key (== np.unique's lexicographic order),
+- padding to a bucketed capacity so jit sees few distinct shapes,
+- per-instance binary target masks padded to a bucketed instance capacity.
+
+Pure numpy on the host (one C++ fast path hook below); the output is ready
+for `jax.device_put` + `build_sparse_batch` inside the jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from mask3d_tpu.data.batch import DeviceBatch, HostBatch, Targets
+
+INT32_MAX = 2**31 - 1
+
+
+def bucket_size(n: int, buckets: Optional[Sequence[int]] = None,
+                multiple: int = 512) -> int:
+    """Round capacity up to a bucket so jit recompiles stay bounded."""
+    if buckets:
+        for b in buckets:
+            if n <= b:
+                return int(b)
+        return int(buckets[-1])
+    return max(multiple, int(-(-n // multiple)) * multiple)
+
+
+def voxelize_item(coordinates: np.ndarray):
+    """Truncate, shift to non-negative, dedup, sort by linearized key.
+
+    Returns (coords i32[n,3] sorted-unique, keep_idx into the input rows,
+    dims i32[3]). Mirrors reference `utils.py:96-112` (truncation + unique).
+    """
+    ci = coordinates.astype(np.int32)  # trunc-toward-zero like torch .int()
+    ci = ci - ci.min(axis=0)
+    uniq, keep = np.unique(ci, axis=0, return_index=True)
+    dims = uniq.max(axis=0) + 1 if len(uniq) else np.ones(3, np.int32)
+    assert int(dims[0]) * int(dims[1]) * int(dims[2]) < INT32_MAX, (
+        "voxel grid too large for int32 keys; coarsen the rasterization"
+    )
+    return uniq.astype(np.int32), keep, dims.astype(np.int32)
+
+
+def build_item_target(labels: np.ndarray, filter_out_classes,
+                      filter_out_instance_ids):
+    """Per-instance (label, mask) pairs from point labels [n, 2].
+
+    Mirrors `create_batch_target` (`mask3d/datasets/utils.py:286-329`):
+    index 0 = semantic label, index 1 = instance id; instances whose id or
+    semantic class is filtered are dropped.
+    """
+    inst_ids = labels[:, 1]
+    out_labels, out_masks = [], []
+    for iid in np.unique(inst_ids):
+        if iid in filter_out_instance_ids:
+            continue
+        mask = inst_ids == iid
+        label = int(labels[mask][0, 0])
+        if label in filter_out_classes:
+            continue
+        out_labels.append(label)
+        out_masks.append(mask)
+    return out_labels, out_masks, inst_ids
+
+
+class VoxelizeCollate:
+    """Collate a list of dataset item dicts into a HostBatch.
+
+    Items follow the reference dataset contract
+    (`mask3d/datasets/semseg_structured3d.py:229-238`): dict with
+    "coordinates" f[n,3], "features" f[n,F], "labels" i[n,2],
+    "raw_coordinates", "raw_features", "raw_labels", "scene".
+    """
+
+    def __init__(
+        self,
+        mode: str = "test",
+        filter_out_classes: Sequence[int] = (),
+        filter_out_instance_ids: Sequence[int] = (-1, 0),
+        prediction_label_offset: int = 0,
+        point_buckets: Optional[Sequence[int]] = None,
+        point_bucket_multiple: int = 512,
+        instance_bucket_multiple: int = 8,
+        num_queries: Optional[int] = None,
+    ):
+        self.mode = mode
+        self.filter_out_classes = tuple(filter_out_classes)
+        self.filter_out_instance_ids = tuple(filter_out_instance_ids)
+        self.prediction_label_offset = prediction_label_offset
+        self.point_buckets = point_buckets
+        self.point_bucket_multiple = point_bucket_multiple
+        self.instance_bucket_multiple = instance_bucket_multiple
+        self.num_queries = num_queries
+
+    def __call__(self, batch: List[dict]) -> HostBatch:
+        b = len(batch)
+        per_item = []
+        for item in batch:
+            coords, keep, dims = voxelize_item(item["coordinates"])
+            labels = np.asarray(item["labels"])[keep].astype(np.int32)
+            feats = np.asarray(item["features"])[keep].astype(np.float32)
+            raw_c = np.asarray(item["raw_coordinates"])[keep]
+            raw_f = np.asarray(item["raw_features"])[keep]
+            raw_l = np.asarray(item["raw_labels"])[keep]
+            tl, tm, inst_ids = build_item_target(
+                labels, self.filter_out_classes, self.filter_out_instance_ids
+            )
+            per_item.append(
+                dict(coords=coords, dims=dims, labels=labels, feats=feats,
+                     raw_c=raw_c, raw_f=raw_f, raw_l=raw_l,
+                     t_labels=tl, t_masks=tm, inst_ids=inst_ids,
+                     scene=item["scene"])
+            )
+
+        n_cap = bucket_size(
+            max(len(it["coords"]) for it in per_item),
+            self.point_buckets, self.point_bucket_multiple,
+        )
+        i_cap = max(
+            self.instance_bucket_multiple,
+            -(-max(1, max(len(it["t_labels"]) for it in per_item))
+              // self.instance_bucket_multiple)
+            * self.instance_bucket_multiple,
+        )
+
+        f_dim = per_item[0]["feats"].shape[-1]
+        coords = np.zeros((b, n_cap, 3), np.int32)
+        counts = np.zeros((b,), np.int32)
+        dims = np.ones((b, 3), np.int32)
+        feats = np.zeros((b, n_cap, f_dim), np.float32)
+        t_labels = np.zeros((b, i_cap), np.int32)
+        t_masks = np.zeros((b, i_cap, n_cap), bool)
+        t_valid = np.zeros((b, i_cap), bool)
+        pt_inst = np.zeros((b, n_cap), np.int32)
+        raw_coords = np.zeros((b, n_cap, 3), np.float32)
+        raw_feats = np.zeros((b, n_cap, f_dim), np.float32)
+        raw_labels = np.zeros((b, n_cap, 2), np.int32)
+
+        for i, it in enumerate(per_item):
+            n = len(it["coords"])
+            assert n <= n_cap, f"item {it['scene']} exceeds point bucket"
+            coords[i, :n] = it["coords"]
+            counts[i] = n
+            dims[i] = it["dims"]
+            feats[i, :n] = it["feats"]
+            pt_inst[i, :n] = it["inst_ids"]
+            raw_coords[i, :n] = it["raw_c"]
+            raw_feats[i, :n] = it["raw_f"]
+            raw_labels[i, :n] = it["raw_l"][:, :2]
+            k = len(it["t_labels"])
+            assert k <= i_cap, f"item {it['scene']} exceeds instance bucket"
+            if k:
+                t_labels[i, :k] = it["t_labels"]
+                t_masks[i, :k, :n] = np.stack(it["t_masks"])
+                t_valid[i, :k] = True
+
+        dev = DeviceBatch(
+            coords=coords,
+            counts=counts,
+            dims=dims,
+            feats=feats,
+            target=Targets(
+                labels=t_labels,
+                masks=t_masks,
+                valid=t_valid,
+                point_instance_ids=pt_inst,
+            ),
+        )
+        return HostBatch(
+            device=dev,
+            scenes=[it["scene"] for it in per_item],
+            raw_coords=raw_coords,
+            raw_feats=raw_feats,
+            raw_labels=raw_labels,
+        )

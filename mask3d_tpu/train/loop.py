@@ -1,0 +1,217 @@
+"""Train/eval steps and state: the jitted core of the training stack.
+
+Rebuild of the reference Lightning module's step logic
+(`mask3d/trainer/trainer.py:263-302` any_split_step): one jitted function
+builds the sparse context, runs the model, matches and computes all losses,
+and applies the optimizer update — no host round-trips inside a step (the
+reference syncs to CPU for 13 x batch_size LSAPs per step).
+
+Optimizer/scheduler mirror the shipped configs: AdamW lr 1e-4
+(`conf/optimizer/adamw.yaml`) with per-step exponential decay gamma=0.99999
+(`conf/scheduler/exponentiallr.yaml:3`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from mask3d_tpu.config import Config
+from mask3d_tpu.data.batch import DeviceBatch
+from mask3d_tpu.models.mask3d import Mask3D, Mask3DOutput
+from mask3d_tpu.sparse.context import build_sparse_batch
+from mask3d_tpu.train.criterion import SetCriterion
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    buffers: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def make_model(cfg: Config) -> Mask3D:
+    dt = None
+    if cfg.model.compute_dtype == "bfloat16":
+        dt = jnp.bfloat16
+    return Mask3D(
+        num_classes=cfg.general.num_targets,
+        hidden_dim=cfg.model.hidden_dim,
+        dim_feedforward=cfg.model.dim_feedforward,
+        num_queries=cfg.model.num_queries,
+        num_heads=cfg.model.num_heads,
+        num_decoders=cfg.model.num_decoders,
+        dropout=cfg.model.dropout,
+        pre_norm=cfg.model.pre_norm,
+        use_level_embed=cfg.model.use_level_embed,
+        normalize_pos_enc=cfg.model.normalize_pos_enc,
+        positional_encoding_type=cfg.model.positional_encoding_type,
+        gauss_scale=cfg.model.gauss_scale,
+        hlevels=tuple(cfg.model.hlevels),
+        non_parametric_queries=cfg.model.non_parametric_queries,
+        random_query_both=cfg.model.random_query_both,
+        random_normal=cfg.model.random_normal,
+        random_queries=cfg.model.random_queries,
+        use_np_features=cfg.model.use_np_features,
+        sample_sizes=tuple(cfg.model.sample_sizes),
+        max_sample_size=cfg.model.max_sample_size,
+        shared_decoder=cfg.model.shared_decoder,
+        backbone_name=cfg.model.backbone,
+        in_channels=cfg.data.in_channels,
+        conv1_kernel_size=cfg.model.conv1_kernel_size,
+        compute_dtype=dt,
+    )
+
+
+def make_criterion(cfg: Config) -> SetCriterion:
+    cw = cfg.loss.class_weights
+    return SetCriterion(
+        num_classes=cfg.general.num_targets,
+        cost_class=cfg.matcher.cost_class,
+        cost_mask=cfg.matcher.cost_mask,
+        cost_dice=cfg.matcher.cost_dice,
+        eos_coef=cfg.loss.eos_coef,
+        class_weights=None if cw == -1 else cw,
+        ignore_mask_idx=cfg.general.ignore_mask_idx,
+        lsap_method=cfg.matcher.lsap_method,
+    )
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    if cfg.scheduler.name == "exponentiallr":
+        schedule = optax.exponential_decay(
+            init_value=cfg.optimizer.lr,
+            transition_steps=1,
+            decay_rate=cfg.scheduler.gamma,
+        )
+    elif cfg.scheduler.name == "onecyclelr":
+        steps = max(cfg.scheduler.steps_per_epoch, 1) * cfg.trainer.max_epochs
+        schedule = optax.cosine_onecycle_schedule(
+            transition_steps=steps,
+            peak_value=cfg.scheduler.max_lr or cfg.optimizer.lr,
+        )
+    else:  # steplr with huge step size == constant (conf/scheduler/steplr)
+        schedule = cfg.optimizer.lr
+    if cfg.optimizer.name == "adamw":
+        tx = optax.adamw(schedule, weight_decay=cfg.optimizer.weight_decay)
+    else:
+        tx = optax.adam(schedule)
+    if cfg.general.freeze_backbone:
+        # reference: backbone under torch.no_grad (`trainer.py:110-113`)
+        def label_fn(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "frozen"
+                if any(getattr(p, "key", None) == "backbone" for p in path)
+                else "train",
+                params,
+            )
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_fn
+        )
+    return tx
+
+
+def level_capacities(cfg: Config, n_points: int):
+    return [
+        max(8, int(n_points * r)) for r in cfg.data.level_cap_ratios
+    ]
+
+
+def init_state(cfg: Config, example: DeviceBatch, seed: Optional[int] = None
+               ) -> Tuple[TrainState, Mask3D, SetCriterion, Any]:
+    model = make_model(cfg)
+    criterion = make_criterion(cfg)
+    tx = make_optimizer(cfg)
+    key = jax.random.PRNGKey(cfg.general.seed if seed is None else seed)
+    k_param, k_sample, k_state = jax.random.split(key, 3)
+    sb = build_sparse_batch(
+        example.coords, example.counts, example.dims,
+        level_capacities(cfg, example.capacity),
+        conv1_kernel_size=cfg.model.conv1_kernel_size,
+    )
+    variables = model.init(
+        {"params": k_param, "sample": k_sample, "queries": k_sample},
+        sb, example.feats, example.coords.astype(jnp.float32), False,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        buffers=variables.get("buffers", {}),
+        opt_state=tx.init(variables["params"]),
+        rng=k_state,
+    )
+    return state, model, criterion, tx
+
+
+def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
+                    tx) -> Any:
+    caps = None  # derived per batch capacity (static under jit)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: DeviceBatch
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, k_sample, k_queries = jax.random.split(state.rng, 3)
+
+        sb = build_sparse_batch(
+            batch.coords, batch.counts, batch.dims,
+            level_capacities(cfg, batch.coords.shape[1]),
+            conv1_kernel_size=cfg.model.conv1_kernel_size,
+        )
+        raw = batch.coords.astype(jnp.float32)
+        targets = batch.target.with_label_offset(
+            cfg.data.prediction_label_offset
+        )
+
+        def loss_fn(params):
+            out: Mask3DOutput = model.apply(
+                {"params": params, "buffers": state.buffers},
+                sb, batch.feats, raw, False,
+                rngs={"sample": k_sample, "queries": k_queries},
+            )
+            losses = criterion(out, targets, sb.levels[0].valid)
+            return losses["loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            rng=rng,
+        )
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, model: Mask3D, criterion: SetCriterion
+                   ) -> Any:
+    @jax.jit
+    def eval_step(state: TrainState, batch: DeviceBatch):
+        sb = build_sparse_batch(
+            batch.coords, batch.counts, batch.dims,
+            level_capacities(cfg, batch.coords.shape[1]),
+            conv1_kernel_size=cfg.model.conv1_kernel_size,
+        )
+        raw = batch.coords.astype(jnp.float32)
+        out: Mask3DOutput = model.apply(
+            {"params": state.params, "buffers": state.buffers},
+            sb, batch.feats, raw, True,
+        )
+        targets = batch.target.with_label_offset(
+            cfg.data.prediction_label_offset
+        )
+        losses = criterion(out, targets, sb.levels[0].valid)
+        return out.pred_class, out.pred_masks, losses
+
+    return eval_step

@@ -1,0 +1,129 @@
+"""End-to-end slice (SURVEY.md §7.2): synthetic scene -> collate -> model ->
+loss -> optimizer -> eval -> postprocess -> evaluator metrics.
+
+This mirrors the reference acceptance path: the experiment scripts +
+mAP evaluation are its only end-to-end test (SURVEY.md §4.4); here a tiny
+model must overfit a fixed batch and produce sane metrics.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mask3d_tpu.config import Config, apply_overrides
+from mask3d_tpu.data import VoxelizeCollate, make_synthetic_scene
+from mask3d_tpu.evalm import Mask3DEvaluator
+from mask3d_tpu.train.loop import (
+    init_state,
+    make_eval_step,
+    make_train_step,
+)
+from mask3d_tpu.train.postprocess import postprocess_item
+
+
+def small_config() -> Config:
+    cfg = Config()
+    apply_overrides(
+        cfg,
+        [
+            "model.hidden_dim=32",
+            "model.dim_feedforward=64",
+            "model.num_queries=8",
+            "model.num_heads=4",
+            "model.num_decoders=2",
+            "model.backbone=Res16UNet14A",
+            "model.conv1_kernel_size=3",
+            "model.sample_sizes=[32,64,128,256,512]",
+            "data.point_bucket_multiple=512",
+            "optimizer.lr=0.002",
+            "scheduler.gamma=1.0",
+        ],
+    )
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(3)
+    items = [
+        make_synthetic_scene(rng, num_rooms_x=2, num_rooms_y=1,
+                             room_size=12, height=6, jitter=0.0, dropout=0.5)
+        for _ in range(2)
+    ]
+    collate = VoxelizeCollate(point_bucket_multiple=512)
+    return collate(items)
+
+
+def test_overfit_and_eval(batch):
+    cfg = small_config()
+    state, model, criterion, tx = init_state(cfg, batch.device)
+    train_step = make_train_step(cfg, model, criterion, tx)
+
+    state, first = train_step(state, batch.device)
+    first_loss = float(first["loss"])
+    losses = None
+    for _ in range(60):
+        state, losses = train_step(state, batch.device)
+    final_loss = float(losses["loss"])
+    assert np.isfinite(final_loss)
+    assert final_loss < 0.6 * first_loss, (first_loss, final_loss)
+
+    # Loss dict has the reference's key layout (13->9 aux modules here).
+    L = cfg.model.num_decoders * len(cfg.model.hlevels)
+    for i in range(L):
+        assert f"loss_ce_mask_module_{i}" in losses
+    assert "loss_ce" in losses and "loss_mask" in losses
+
+    # ---- eval + postprocess + metrics ----
+    eval_step = make_eval_step(cfg, model, criterion)
+    pred_class, pred_masks, eval_losses = eval_step(state, batch.device)
+    pred_class = np.asarray(pred_class)
+    pred_masks = np.asarray(pred_masks)
+    counts = np.asarray(batch.device.counts)
+
+    evaluator = Mask3DEvaluator()
+    preds, targets = [], []
+    for b in range(2):
+        n = counts[b]
+        preds.append(
+            postprocess_item(
+                pred_class[b],
+                pred_masks[b, :n],
+                np.asarray(batch.device.coords[b, :n], np.float32),
+                batch.scenes[b],
+                use_dbscan=False,
+                scores_threshold=0.1,
+            )
+        )
+        tv = np.asarray(batch.device.target.valid[b])
+        targets.append(
+            {
+                "labels": np.asarray(batch.device.target.labels[b])[tv],
+                "masks": np.asarray(batch.device.target.masks[b])[tv][:, :n],
+            }
+        )
+    metrics = evaluator.evaluate(preds, targets, "val")
+    assert np.isfinite(metrics["val_mean_ap"])
+    assert 0.0 <= metrics["val_mean_recall_50"] <= 1.0
+    # Overfit on 2 rooms/scene: the model should detect at least some rooms.
+    assert metrics["val_mean_ap_25"] > 0.0
+
+
+def test_train_step_data_parallel(batch):
+    """Same batch sharded over 2 devices must produce (nearly) the same loss."""
+    from mask3d_tpu.parallel import make_mesh, replicate, shard_batch
+
+    cfg = small_config()
+    state, model, criterion, tx = init_state(cfg, batch.device)
+    train_step = make_train_step(cfg, model, criterion, tx)
+
+    _, ref_losses = train_step(state, batch.device)
+
+    mesh = make_mesh(2)
+    sharded = shard_batch(batch.device, mesh)
+    rep_state = replicate(state, mesh)
+    _, dp_losses = train_step(rep_state, sharded)
+    np.testing.assert_allclose(
+        float(dp_losses["loss"]), float(ref_losses["loss"]), rtol=1e-4
+    )
