@@ -131,14 +131,24 @@ def init_state(cfg: Config, example: DeviceBatch, seed: Optional[int] = None
     tx = make_optimizer(cfg)
     key = jax.random.PRNGKey(cfg.general.seed if seed is None else seed)
     k_param, k_sample, k_state = jax.random.split(key, 3)
-    sb = build_sparse_batch(
-        example.coords, example.counts, example.dims,
-        level_capacities(cfg, example.capacity),
-        conv1_kernel_size=cfg.model.conv1_kernel_size,
-    )
-    variables = model.init(
-        {"params": k_param, "sample": k_sample, "queries": k_sample},
-        sb, example.feats, example.coords.astype(jnp.float32), False,
+
+    # Jit the whole init: eager op-by-op dispatch is pathological on remote
+    # TPU backends (every op is a round trip through the device tunnel).
+    @jax.jit
+    def _init(k_param, k_sample, coords, counts, dims, feats):
+        sb = build_sparse_batch(
+            coords, counts, dims,
+            level_capacities(cfg, coords.shape[1]),
+            conv1_kernel_size=cfg.model.conv1_kernel_size,
+        )
+        return model.init(
+            {"params": k_param, "sample": k_sample, "queries": k_sample},
+            sb, feats, coords.astype(jnp.float32), False,
+        )
+
+    variables = _init(
+        k_param, k_sample, example.coords, example.counts, example.dims,
+        example.feats,
     )
     state = TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -1,0 +1,147 @@
+"""Data layer tests: PLY/LAS round-trips, dataset readers, augmentations."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mask3d_tpu.data.augment import make_augmentation
+from mask3d_tpu.data.datasets import (
+    S3DISSegmentationDataset,
+    Structured3DSegmentationDataset,
+)
+from mask3d_tpu.data.las import read_las, write_las
+from mask3d_tpu.data.ply import read_ply, write_ply
+
+
+def test_ply_ascii_roundtrip(tmp_path, rng):
+    n = 50
+    arrays = {
+        "x": rng.integers(0, 100, n).astype(np.int32),
+        "y": rng.integers(0, 100, n).astype(np.int32),
+        "z": rng.integers(0, 100, n).astype(np.int32),
+        "type": rng.integers(0, 21, n).astype(np.int32),
+        "room_id": rng.integers(0, 9, n).astype(np.int32),
+    }
+    p = str(tmp_path / "pc.ply")
+    write_ply(p, arrays, text=True)
+    back = read_ply(p)
+    for k in arrays:
+        assert np.array_equal(back[k], arrays[k]), k
+
+
+def test_ply_binary_roundtrip(tmp_path, rng):
+    n = 30
+    arrays = {
+        "x": rng.normal(size=n).astype(np.float32),
+        "y": rng.normal(size=n).astype(np.float32),
+        "z": rng.normal(size=n).astype(np.float32),
+        "red": rng.integers(0, 255, n).astype(np.uint8),
+    }
+    p = str(tmp_path / "pc_bin.ply")
+    write_ply(p, arrays, text=False)
+    back = read_ply(p)
+    for k in arrays:
+        assert np.array_equal(back[k], arrays[k]), k
+
+
+def test_las_roundtrip(tmp_path, rng):
+    n = 40
+    coords = rng.integers(0, 500, (n, 3)).astype(np.float64)
+    extra = {
+        "type": rng.integers(0, 21, n).astype(np.int32),
+        "room_id": rng.integers(0, 9, n).astype(np.int32),
+        "score_pred": rng.random(n).astype(np.float32),
+    }
+    p = str(tmp_path / "pc.las")
+    write_las(p, coords, extra_dims=extra)
+    back = read_las(p)
+    np.testing.assert_allclose(back["xyz"], coords)
+    for k in extra:
+        np.testing.assert_allclose(back[k], extra[k])
+
+
+def _write_scene(root, scene, rng, n=100, with_invalid=True):
+    d = os.path.join(root, scene)
+    os.makedirs(d, exist_ok=True)
+    sem = rng.integers(1, 17, n).astype(np.int32)
+    if with_invalid:
+        sem[:5] = 21  # undefined-polygon class, must be dropped
+    arrays = {
+        "x": rng.integers(0, 60, n).astype(np.int32),
+        "y": rng.integers(0, 60, n).astype(np.int32),
+        "z": rng.integers(0, 20, n).astype(np.int32),
+        "type": sem,
+        "room_id": rng.integers(0, 5, n).astype(np.int32),
+    }
+    write_ply(os.path.join(d, "point_cloud_rasterized_150.ply"), arrays)
+    return arrays
+
+
+def test_structured3d_dataset(tmp_path, rng):
+    root = str(tmp_path)
+    for scene in ["scene_00001", "scene_00002", "scene_03100", "scene_03400"]:
+        _write_scene(root, scene, rng)
+    train = Structured3DSegmentationDataset(root, mode="train")
+    val = Structured3DSegmentationDataset(root, mode="validation")
+    test = Structured3DSegmentationDataset(root, mode="test")
+    assert train.data == ["scene_00001", "scene_00002"]
+    assert val.data == ["scene_03100"]
+    assert test.data == ["scene_03400"]
+
+    item = train[0]
+    # class 21 dropped, semantics collapsed to is_room
+    assert (item["labels"][:, 0] <= 1).all()
+    assert len(item["coordinates"]) == len(item["labels"])
+    assert item["scene"] == "scene_00001"
+    assert (item["features"] == 1).all()
+
+
+def test_structured3d_valid_scenes_file(tmp_path, rng):
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    for scene in ["scene_00001", "scene_00002"]:
+        _write_scene(root, scene, rng)
+    vf = str(tmp_path / "valid.txt")
+    with open(vf, "w") as f:
+        f.write("scene_00001\nscene_99999\n")
+    ds = Structured3DSegmentationDataset(
+        root, mode="train", valid_scenes_file_path=vf
+    )
+    assert ds.data == ["scene_00001"]
+
+
+def test_s3dis_dataset(tmp_path, rng):
+    root = str(tmp_path)
+    for area in ["area_1", "area_2", "area_3", "area_4", "area_5", "area_6"]:
+        _write_scene(root, area, rng, with_invalid=False)
+    train = S3DISSegmentationDataset(root, mode="train")
+    val = S3DISSegmentationDataset(root, mode="validation")
+    assert len(train.data) == 5 and val.data == ["area_5"]
+    item = val[0]
+    assert (item["labels"][:, 0] == 1).all()  # everything is_room
+
+
+def test_augmentations_preserve_alignment(rng):
+    aug = make_augmentation("s3dis", seed=0)
+    pts = rng.normal(size=(200, 3)).astype(np.float32) * 10
+    feats = np.ones((200, 1), np.float32)
+    labels = np.stack(
+        [np.ones(200, np.int32), rng.integers(1, 5, 200)], axis=1
+    )
+    out = aug(pts, feats, labels)
+    assert len(out["points"]) == len(out["features"]) == len(out["labels"])
+    assert len(out["points"]) <= 200  # dropout may remove points
+
+
+def test_rotation_preserves_distances(rng):
+    from mask3d_tpu.data.augment import rotate_around_axis
+
+    fn = rotate_around_axis((0, 0, 1), (-np.pi, np.pi))
+    pts = rng.normal(size=(50, 3)).astype(np.float64)
+    out, _, _ = fn(np.random.default_rng(1), pts.copy(), None, None)
+    d0 = np.linalg.norm(pts[0] - pts[1])
+    d1 = np.linalg.norm(out[0] - out[1])
+    np.testing.assert_allclose(d0, d1, rtol=1e-6)
+    # z distances unchanged for z-axis rotation
+    np.testing.assert_allclose(pts[:, 2], out[:, 2], atol=1e-9)
