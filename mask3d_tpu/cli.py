@@ -1,0 +1,62 @@
+"""Entry point: train / test with Hydra-style override strings.
+
+Rebuild of `mask3d/main_instance_segmentation.py` (M1): seeds, run directory,
+auto-resume, checkpoint surgery, then train or test. CLI grammar matches the
+reference experiment launch scripts (`mask3d/experiment_launch_scripts/*.sh`):
+
+    python -m mask3d_tpu.cli train \
+        general.experiment_name="experiment1_voxel_size_150" \
+        data.rasterization_factor=150 trainer.max_epochs=30
+
+    python -m mask3d_tpu.cli test \
+        general.checkpoint="saved/.../best_val_mean_ap_50.ckpt" \
+        data.test_batch_size=1 general.filter_out_instances=true
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+import sys
+
+import numpy as np
+
+
+def seed_everything(seed: int):
+    """Reference `seed_everything` (`main_instance_segmentation.py:35`)."""
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    command, *overrides = argv
+    assert command in ("train", "test"), f"unknown command {command}"
+
+    from mask3d_tpu.config import Config, apply_overrides
+    from mask3d_tpu.train.trainer import InstanceSegmentationTrainer
+
+    cfg = Config()
+    apply_overrides(cfg, overrides)
+    cfg.general.train_mode = command == "train"
+    seed_everything(cfg.general.seed)
+
+    trainer = InstanceSegmentationTrainer(cfg)
+    if command == "train":
+        trainer.fit()
+    else:
+        metrics = trainer.test()
+        for k, v in sorted(metrics.items()):
+            print(f"{k}: {v:.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

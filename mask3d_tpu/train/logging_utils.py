@@ -1,0 +1,84 @@
+"""Metric logging: CSV + TensorBoard (the reference's `offline` profile).
+
+Reference: loggers instantiated from `conf/logging/offline.yaml`
+(TensorBoard + CSV), flattened hyperparams via `utils/utils.py:16-27`,
+per-step `log_dict(on_epoch=True)` with Lightning epoch aggregation
+(`mask3d/trainer/trainer.py:298-302`). Here `MetricLogger` aggregates
+per-epoch means itself and writes both sinks.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+from collections import defaultdict
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class MetricLogger:
+    def __init__(self, directory: str, use_tensorboard: bool = True,
+                 hyperparams: Optional[dict] = None):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+        self.csv_path = os.path.join(directory, "metrics.csv")
+        self._csv_fields = ["epoch", "step"]
+        self._csv_rows = []
+        self._epoch_acc: Dict[str, list] = defaultdict(list)
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=directory)
+                if hyperparams:
+                    self._tb.add_text(
+                        "hyperparams",
+                        "\n".join(f"{k}: {v}" for k, v in hyperparams.items()),
+                    )
+            except Exception as e:  # tensorboard optional
+                logger.warning(f"tensorboard unavailable: {e}")
+
+    def log_step(self, metrics: Dict[str, float], step: int):
+        """Accumulate for the epoch mean; also write per-step to TB."""
+        for k, v in metrics.items():
+            v = float(v)
+            self._epoch_acc[k].append(v)
+            if self._tb is not None:
+                self._tb.add_scalar(f"{k}_step", v, step)
+
+    def log_epoch(self, epoch: int, step: int,
+                  extra: Optional[Dict[str, float]] = None) -> Dict[str, float]:
+        """Flush epoch means (Lightning's on_epoch aggregation equivalent)."""
+        means = {
+            k: float(np.mean(vs)) for k, vs in self._epoch_acc.items()
+        }
+        if extra:
+            means.update({k: float(v) for k, v in extra.items()})
+        self._epoch_acc.clear()
+        row = {"epoch": epoch, "step": step, **means}
+        for k in means:
+            if k not in self._csv_fields:
+                self._csv_fields.append(k)
+        self._csv_rows.append(row)
+        self._write_csv()
+        if self._tb is not None:
+            for k, v in means.items():
+                self._tb.add_scalar(k, v, epoch)
+            self._tb.flush()
+        return means
+
+    def _write_csv(self):
+        with open(self.csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._csv_fields)
+            w.writeheader()
+            for row in self._csv_rows:
+                w.writerow(row)
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()

@@ -1,0 +1,133 @@
+"""Trainer orchestration tests: fit/resume/test/checkpoints on a tiny
+disk-backed Structured3D-format dataset (the full reference train() path,
+`mask3d/main_instance_segmentation.py:67-84`)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mask3d_tpu.config import Config, apply_overrides
+from mask3d_tpu.data.ply import write_ply
+
+
+def write_scene(root, scene, rng, n=600):
+    d = os.path.join(root, scene)
+    os.makedirs(d, exist_ok=True)
+    # two-room synthetic layout in reference record schema
+    half = n // 2
+    x = np.concatenate(
+        [rng.integers(0, 20, half), rng.integers(22, 42, n - half)]
+    )
+    y = rng.integers(0, 20, n)
+    z = rng.integers(0, 8, n)
+    room = np.concatenate(
+        [np.ones(half, np.int32), np.full(n - half, 2, np.int32)]
+    )
+    arrays = {
+        "x": x.astype(np.int32),
+        "y": y.astype(np.int32),
+        "z": z.astype(np.int32),
+        "type": rng.integers(1, 17, n).astype(np.int32),
+        "room_id": room,
+    }
+    write_ply(os.path.join(d, "point_cloud_rasterized_150.ply"), arrays)
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("stru3d"))
+    rng = np.random.default_rng(0)
+    for scene in ["scene_00001", "scene_00002", "scene_03000", "scene_03250"]:
+        write_scene(root, scene, rng)
+    return root
+
+
+def small_cfg(data_root, save_dir) -> Config:
+    cfg = Config()
+    apply_overrides(
+        cfg,
+        [
+            "model.hidden_dim=32",
+            "model.dim_feedforward=64",
+            "model.num_queries=6",
+            "model.num_heads=4",
+            "model.num_decoders=1",
+            "model.backbone=Res16UNet14A",
+            "model.conv1_kernel_size=3",
+            "model.sample_sizes=[32,64,128,256,512]",
+            "data.point_bucket_multiple=1024",
+            "data.batch_size=2",
+            "data.volume_augmentations=none",
+            "general.use_dbscan=false",
+            "general.export_las=false",
+            "general.scores_threshold=0.0",
+            "trainer.max_epochs=2",
+            "trainer.log_every_n_steps=1",
+            f"data.data_root={data_root}",
+            f"general.save_dir={save_dir}",
+            "general.experiment_id=run1",
+        ],
+    )
+    return cfg
+
+
+def test_fit_resume_and_test(data_root, tmp_path):
+    from mask3d_tpu.train.trainer import InstanceSegmentationTrainer
+
+    save_dir = str(tmp_path / "saved")
+    cfg = small_cfg(data_root, save_dir)
+    trainer = InstanceSegmentationTrainer(cfg)
+    assert len(trainer.datasets["train"]) == 2
+    trainer.fit()
+
+    run_dir = trainer.run_dir
+    assert os.path.exists(os.path.join(run_dir, "last-epoch.ckpt"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.csv"))
+    csv = open(os.path.join(run_dir, "metrics.csv")).read()
+    assert "train_loss" in csv and "val_mean_ap_50" in csv
+
+    # Auto-resume: a fresh trainer continues at epoch 2 (reference
+    # get_checkpoint_path semantics, main_instance_segmentation.py:18-28).
+    cfg2 = small_cfg(data_root, save_dir)
+    cfg2.trainer.max_epochs = 3
+    trainer2 = InstanceSegmentationTrainer(cfg2)
+    trainer2.fit()
+    assert trainer2.epoch == 3
+
+    # test() produces the full metric suite
+    metrics = trainer2.test()
+    for key in (
+        "test_mean_ap", "test_mean_ap_50", "test_mean_ap_25",
+        "test_mean_precision_50", "test_mean_recall_50", "test_mean_f1_50",
+        "test_mean_match_IoU", "test_successfully_detected_rooms",
+        "test_loss",
+    ):
+        assert key in metrics, key
+
+
+def test_tolerant_checkpoint_restore(data_root, tmp_path):
+    """Fine-tune workflow: restore a ckpt into a model with different
+    num_queries (reference experiment6, utils.py:64-93 semantics)."""
+    from mask3d_tpu.train import checkpoint as ckpt
+    from mask3d_tpu.train.trainer import InstanceSegmentationTrainer
+
+    save_dir = str(tmp_path / "saved_a")
+    cfg = small_cfg(data_root, save_dir)
+    cfg.trainer.max_epochs = 0
+    trainer = InstanceSegmentationTrainer(cfg)
+    path = os.path.join(trainer.run_dir, "ckpt_for_finetune.ckpt")
+    ckpt.save_checkpoint(path, trainer.state, epoch=0)
+
+    cfg2 = small_cfg(data_root, str(tmp_path / "saved_b"))
+    cfg2.model.num_queries = 12  # changed head shapes stay at init
+    cfg2.general.checkpoint = path
+    trainer2 = InstanceSegmentationTrainer(cfg2)
+
+    # Backbone weights must be restored exactly.
+    import jax
+
+    a = jax.tree_util.tree_leaves(trainer.state.params["backbone"])
+    b = jax.tree_util.tree_leaves(trainer2.state.params["backbone"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
