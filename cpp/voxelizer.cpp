@@ -1,0 +1,137 @@
+// Native host-side voxelizer: truncate -> shift -> sort -> unique.
+//
+// The TPU-native counterpart of MinkowskiEngine's C++ coordinate manager
+// hashing (reference: ME sparse_collate / coordinate map construction,
+// consumed at mask3d/datasets/utils.py:96-126). The device consumes sorted
+// capacity-padded voxel batches; this kernel produces them from raw float
+// coordinates at memory bandwidth instead of numpy's generic np.unique
+// (which materializes a structured sort over row tuples).
+//
+// Exposed via a C ABI for ctypes (no pybind11 in the image).
+//
+// Semantics (must match mask3d_tpu/data/collate.py::voxelize_item):
+// - float -> int32 truncation toward zero (torch .int() semantics)
+// - per-item shift so coords are non-negative
+// - duplicates removed keeping the row with the smallest ORIGINAL index
+//   among equal voxels (np.unique(..., return_index=True) semantics)
+// - output sorted ascending by key = (x*Dy + y)*Dz + z
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <cmath>
+
+extern "C" {
+
+// Returns the number of unique voxels written. out_coords: [n*3] i32 buffer,
+// keep_idx: [n] i32 buffer (original row index per unique voxel),
+// dims_out: [3] i32.
+int voxelize_f32(const float* coords, int64_t n, int32_t* out_coords,
+                 int32_t* keep_idx, int32_t* dims_out) {
+  if (n <= 0) {
+    dims_out[0] = dims_out[1] = dims_out[2] = 1;
+    return 0;
+  }
+  std::vector<int32_t> q(static_cast<size_t>(n) * 3);
+  int32_t mn[3] = {INT32_MAX, INT32_MAX, INT32_MAX};
+  for (int64_t i = 0; i < n; ++i) {
+    for (int d = 0; d < 3; ++d) {
+      int32_t v = static_cast<int32_t>(coords[i * 3 + d]);  // trunc
+      q[i * 3 + d] = v;
+      mn[d] = std::min(mn[d], v);
+    }
+  }
+  int32_t mx[3] = {0, 0, 0};
+  for (int64_t i = 0; i < n; ++i) {
+    for (int d = 0; d < 3; ++d) {
+      q[i * 3 + d] -= mn[d];
+      mx[d] = std::max(mx[d], q[i * 3 + d]);
+    }
+  }
+  dims_out[0] = mx[0] + 1;
+  dims_out[1] = mx[1] + 1;
+  dims_out[2] = mx[2] + 1;
+
+  // 64-bit keys (grid may exceed 2^31 before downsampling).
+  const int64_t dy = dims_out[1], dz = dims_out[2];
+  struct Entry {
+    int64_t key;
+    int64_t idx;
+  };
+  std::vector<Entry> entries(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) {
+    entries[i].key =
+        (static_cast<int64_t>(q[i * 3]) * dy + q[i * 3 + 1]) * dz +
+        q[i * 3 + 2];
+    entries[i].idx = i;
+  }
+  std::sort(entries.begin(), entries.end(), [](const Entry& a, const Entry& b) {
+    return a.key != b.key ? a.key < b.key : a.idx < b.idx;
+  });
+
+  int out_n = 0;
+  int64_t prev_key = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    if (entries[i].key != prev_key) {
+      prev_key = entries[i].key;
+      const int64_t src = entries[i].idx;
+      out_coords[out_n * 3 + 0] = q[src * 3 + 0];
+      out_coords[out_n * 3 + 1] = q[src * 3 + 1];
+      out_coords[out_n * 3 + 2] = q[src * 3 + 2];
+      keep_idx[out_n] = static_cast<int32_t>(src);
+      ++out_n;
+    }
+  }
+  return out_n;
+}
+
+// Voxel-grid downsampling key computation for the offline pipeline
+// (reference downsample_ply.py:74-75): floor((p - min)/voxel) with the same
+// smallest-original-index unique rule. Returns number of kept points.
+int downsample_f64(const double* coords, int64_t n, double voxel_size,
+                   int32_t* out_vox, int32_t* keep_idx) {
+  if (n <= 0) return 0;
+  double mn[3] = {coords[0], coords[1], coords[2]};
+  for (int64_t i = 1; i < n; ++i)
+    for (int d = 0; d < 3; ++d) mn[d] = std::min(mn[d], coords[i * 3 + d]);
+
+  std::vector<int64_t> v(static_cast<size_t>(n) * 3);
+  int64_t mx[3] = {0, 0, 0};
+  for (int64_t i = 0; i < n; ++i)
+    for (int d = 0; d < 3; ++d) {
+      int64_t x = static_cast<int64_t>(
+          std::floor((coords[i * 3 + d] - mn[d]) / voxel_size));
+      v[i * 3 + d] = x;
+      mx[d] = std::max(mx[d], x);
+    }
+  const int64_t dy = mx[1] + 1, dz = mx[2] + 1;
+  struct Entry {
+    int64_t key;
+    int64_t idx;
+  };
+  std::vector<Entry> entries(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) {
+    entries[i].key = (v[i * 3] * dy + v[i * 3 + 1]) * dz + v[i * 3 + 2];
+    entries[i].idx = i;
+  }
+  std::sort(entries.begin(), entries.end(), [](const Entry& a, const Entry& b) {
+    return a.key != b.key ? a.key < b.key : a.idx < b.idx;
+  });
+  int out_n = 0;
+  int64_t prev = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    if (entries[i].key != prev) {
+      prev = entries[i].key;
+      const int64_t src = entries[i].idx;
+      out_vox[out_n * 3 + 0] = static_cast<int32_t>(v[src * 3 + 0]);
+      out_vox[out_n * 3 + 1] = static_cast<int32_t>(v[src * 3 + 1]);
+      out_vox[out_n * 3 + 2] = static_cast<int32_t>(v[src * 3 + 2]);
+      keep_idx[out_n] = static_cast<int32_t>(src);
+      ++out_n;
+    }
+  }
+  return out_n;
+}
+
+}  // extern "C"

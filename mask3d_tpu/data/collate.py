@@ -37,12 +37,24 @@ def bucket_size(n: int, buckets: Optional[Sequence[int]] = None,
     return max(multiple, int(-(-n // multiple)) * multiple)
 
 
-def voxelize_item(coordinates: np.ndarray):
+def voxelize_item(coordinates: np.ndarray, use_native: bool = True):
     """Truncate, shift to non-negative, dedup, sort by linearized key.
 
     Returns (coords i32[n,3] sorted-unique, keep_idx into the input rows,
     dims i32[3]). Mirrors reference `utils.py:96-112` (truncation + unique).
+    Uses the C++ fast path (`cpp/voxelizer.cpp`) when available.
     """
+    if use_native and len(coordinates):
+        from mask3d_tpu.native import voxelize_native
+
+        res = voxelize_native(coordinates)
+        if res is not None:
+            uniq, keep, dims = res
+            assert int(dims[0]) * int(dims[1]) * int(dims[2]) < INT32_MAX, (
+                "voxel grid too large for int32 keys; coarsen the "
+                "rasterization"
+            )
+            return uniq, keep, dims
     ci = coordinates.astype(np.int32)  # trunc-toward-zero like torch .int()
     ci = ci - ci.min(axis=0)
     uniq, keep = np.unique(ci, axis=0, return_index=True)
