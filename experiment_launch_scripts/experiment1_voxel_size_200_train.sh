@@ -1,0 +1,15 @@
+#!/bin/bash
+# TPU-native equivalent of the reference launch script of the same name
+# (reference: mask3d/experiment_launch_scripts/). Override grammar is
+# identical; the entry point is `python -m mask3d_tpu.cli`.
+EXPERIMENT_NAME="experiment1_voxel_size_200"
+echo "Running $EXPERIMENT_NAME TRAIN"
+
+python -m mask3d_tpu.cli train \
+    general.experiment_name="$EXPERIMENT_NAME" \
+    'data.dataset=structured3d' \
+    'trainer.max_epochs=30' \
+    'data.rasterization_factor=200' \
+    'general.filter_out_instances=false' \
+    'general.use_dbscan=false' \
+    "$@"
