@@ -32,7 +32,7 @@ def main():
     from mask3d_tpu.config import Config, apply_overrides
     from mask3d_tpu.data import VoxelizeCollate, make_synthetic_scene
     from mask3d_tpu.sparse import build_sparse_batch
-    from mask3d_tpu.train.loop import init_state, level_capacities
+    from mask3d_tpu.train.loop import _sb_kwargs, init_state, level_capacities
 
     cfg = Config()  # full-size flagship (hidden 128, Q 25, Res16UNet34C)
     apply_overrides(cfg, ["data.point_bucket_multiple=65536"])
@@ -62,27 +62,29 @@ def main():
         sb = build_sparse_batch(
             coords, counts, dims,
             level_capacities(cfg, coords.shape[1]),
-            conv1_kernel_size=cfg.model.conv1_kernel_size,
+            **_sb_kwargs(cfg, batch.grid_dims),
         )
         out = model.apply(
             {"params": params, "buffers": buffers},
             sb, feats, coords.astype(jnp.float32), True,
+            grid_dims=batch.grid_dims,
         )
         return out.pred_class, out.pred_masks
 
     args = (state.params, state.buffers, batch.coords, batch.counts,
             batch.dims, batch.feats)
 
-    # Warmup / compile
-    jax.block_until_ready(infer(*args))
+    # Warmup / compile. NOTE: timing fences use jax.device_get of a small
+    # output slice — on remote-tunnel backends `block_until_ready` has been
+    # observed to return before device execution finishes, which silently
+    # inflates throughput numbers.
+    _ = jax.device_get(infer(*args)[0])
 
-    # Steady state: device inference (collate measured separately; in the
-    # production loader it is pipelined on the host alongside device work).
-    iters = 5
+    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         res = infer(*args)
-    jax.block_until_ready(res)
+        _ = jax.device_get(res[0])
     infer_time = (time.perf_counter() - t0) / iters
 
     # Voxelize+infer throughput: host collate amortized once per batch.

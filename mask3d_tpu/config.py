@@ -107,6 +107,9 @@ class ModelConfig:
     num_classes: int = 1
     scatter_type: str = "mean"
     backbone: str = "Res16UNet34C"
+    # "dense": dense-grid conv execution (TPU fast path); "gather": kernel-map
+    # gather-matmul (general fallback)
+    backbone_impl: str = "dense"
     conv1_kernel_size: int = 5
     bn_momentum: float = 0.02
     # TPU-specific: bf16 compute in the backbone matmuls
@@ -164,6 +167,13 @@ class TrainerConfig:
     # TPU-specific
     num_data_parallel: int = 1
     log_every_n_steps: int = 10
+    # jax.profiler trace of steps [profile_start, profile_start+profile_steps)
+    # written to <run_dir>/profile (reference analogue: torch-tb-profiler,
+    # mask3d/requirements.txt:22 + the measure_runtime split timer)
+    profile_steps: int = 0
+    profile_start: int = 5
+    # debug: jax_debug_nans (the reference's NaN guards, trainer.py:204)
+    debug_nans: bool = False
 
 
 @dataclass

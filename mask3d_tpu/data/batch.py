@@ -53,6 +53,16 @@ class DeviceBatch(struct.PyTreeNode):
     dims: jax.Array  # i32[B, 3]
     feats: jax.Array  # f32[B, N, F]
     target: Targets
+    # Static per-level dense-grid dims (bucketed by the collator, level-0
+    # dims multiples of 16 so stride-2 halving stays even); part of the
+    # treedef so shape-dependent jits recompile per bucket.
+    grid_dims: tuple = struct.field(pytree_node=False, default=None)
+
+    @property
+    def grid_cells(self):
+        if self.grid_dims is None:
+            return None
+        return tuple(int(np.prod(d)) for d in self.grid_dims)
 
     @property
     def batch_size(self) -> int:

@@ -26,6 +26,22 @@ from mask3d_tpu.data.batch import DeviceBatch, HostBatch, Targets
 INT32_MAX = 2**31 - 1
 
 
+def next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def level_dims(dims: np.ndarray, num_levels: int = 5):
+    """Per-level grid dims under repeated stride-2 coarsening
+    (matches `core.downsample_level`: d -> ((d-1)>>1)+1)."""
+    out = [np.asarray(dims, np.int64)]
+    for _ in range(num_levels - 1):
+        out.append(((out[-1] - 1) >> 1) + 1)
+    return out
+
+
 def bucket_size(n: int, buckets: Optional[Sequence[int]] = None,
                 multiple: int = 512) -> int:
     """Round capacity up to a bucket so jit recompiles stay bounded."""
@@ -140,6 +156,18 @@ class VoxelizeCollate:
             max(len(it["coords"]) for it in per_item),
             self.point_buckets, self.point_bucket_multiple,
         )
+        # Static per-level dense-grid dims: level-0 bucketed to multiples of
+        # 16 per axis (stride-2 halving stays even through 4 levels), coarser
+        # levels are exact halvings. Consumed by the row-table kernel maps
+        # and the dense-grid backbone path.
+        max_d0 = np.max(
+            np.stack([it["dims"] for it in per_item]), axis=0
+        ).astype(np.int64)
+        d0 = tuple(int(-(-d // 16) * 16) for d in max_d0)
+        grid_dims = [d0]
+        for _ in range(4):
+            grid_dims.append(tuple(d // 2 for d in grid_dims[-1]))
+        grid_dims = tuple(grid_dims)
         i_cap = max(
             self.instance_bucket_multiple,
             -(-max(1, max(len(it["t_labels"]) for it in per_item))
@@ -189,6 +217,7 @@ class VoxelizeCollate:
                 valid=t_valid,
                 point_instance_ids=pt_inst,
             ),
+            grid_dims=grid_dims,
         )
         return HostBatch(
             device=dev,

@@ -7,22 +7,26 @@ Capability-parity rebuild of the reference backbone family
 everywhere (the reference deliberately replaced BatchNorm because the input
 features are all-ones, `resnet_block.py:9`).
 
-TPU design notes
-----------------
-- All convolutions are gather-matmul ops from `mask3d_tpu.sparse.ops`;
-  kernel maps come precomputed in the `SparseBatch` context, so the whole
-  backbone is pure batched matmul + gather work (MXU-bound).
-- Strided (stride-2, kernel-2) convs and transposed convs ride the octree
-  parent/child PoolMaps — no kernel-map search at stride boundaries.
-- `compute_dtype=bfloat16` runs every matmul in bf16 with fp32 accumulation
-  (`preferred_element_type`), params stay fp32.
-- The reference defines a `final` 1x1 conv that its forward never applies
-  (`res16unet.py:231-238` vs `:241-314`); we omit it.
+Two numerically-identical execution paths share one parameter layout
+(`[K, Cin, Cout]` kernels in cube-ravel enumeration):
 
-Returns `(out, feature_maps)` where `out` is the stride-1 feature set
-([B, N, PLANES[7]]) and `feature_maps` are the five pyramid outputs at
-strides [16, 8, 4, 2, 1] — the same contract as `out_fpn=True` in the
-reference (`res16unet.py:311-314`).
+- `impl="gather"` — gather-matmul sparse convolution over precomputed kernel
+  maps (`mask3d_tpu.sparse.ops`). General, works for any grid size.
+- `impl="dense"`  — scatter the rows into the dense voxel grid once and run
+  every conv as `lax.conv_general_dilated` with submanifold re-masking
+  (`mask3d_tpu.sparse.dense_ops`). The TPU fast path: room-scene grids are
+  small, XLA row-gathers are ~65M rows/s, and the MXU eats the dense conv
+  FLOPs; this removes ~350 gather sweeps per forward.
+
+Strided (stride-2, kernel-2) convs and transposed convs ride the octree
+parent/child PoolMaps (gather impl) or strided dense convs (dense impl).
+`compute_dtype=bfloat16` runs matmuls in bf16 with fp32 accumulation.
+
+The reference defines a `final` 1x1 conv its forward never applies
+(`res16unet.py:231-238` vs `:241-314`); we omit it. Returns
+`(out, feature_maps)`: stride-1 features [B, N, PLANES[7]] plus the five
+pyramid outputs at strides [16, 8, 4, 2, 1] (the `out_fpn=True` contract,
+`res16unet.py:311-314`).
 """
 
 from __future__ import annotations
@@ -32,9 +36,9 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from mask3d_tpu.sparse import dense_ops
 from mask3d_tpu.sparse.context import SparseBatch
 from mask3d_tpu.sparse.ops import (
-    cat_features,
     instance_norm,
     sparse_conv,
     sparse_conv_down,
@@ -46,148 +50,101 @@ Dtype = Any
 _KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
-class SparseConv(nn.Module):
-    """Same-stride sparse convolution (kernel map supplied by caller)."""
+class _GatherCtx:
+    """Row-form execution over kernel maps (one instance per forward)."""
 
-    out_ch: int
-    num_kernel: int
-    use_bias: bool = False
-    compute_dtype: Optional[Dtype] = None
+    def __init__(self, sb: SparseBatch, compute_dtype):
+        self.sb = sb
+        self.dt = compute_dtype
 
-    @nn.compact
-    def __call__(self, feats, nbr_idx, nbr_ok):
-        w = self.param(
-            "kernel",
-            _KERNEL_INIT,
-            (self.num_kernel, feats.shape[-1], self.out_ch),
-        )
-        b = (
-            self.param("bias", nn.initializers.zeros, (self.out_ch,))
-            if self.use_bias
-            else None
-        )
+    def to_level(self, feats, level_idx):
+        return feats  # rows are already per-level
+
+    def conv_in(self, feats, w, b):
         return sparse_conv(
-            feats, w, nbr_idx, nbr_ok, bias=b, compute_dtype=self.compute_dtype
+            feats, w, self.sb.nbr0_idx, self.sb.nbr0_ok, bias=b,
+            compute_dtype=self.dt,
         )
 
-
-class SparseConv1x1(nn.Module):
-    """Pointwise (1x1x1) sparse convolution == per-row dense layer."""
-
-    out_ch: int
-    use_bias: bool = True
-    compute_dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, feats):
-        w = self.param(
-            "kernel", _KERNEL_INIT, (1, feats.shape[-1], self.out_ch)
+    def conv3(self, feats, w, level_idx, b=None):
+        return sparse_conv(
+            feats, w, self.sb.nbr_idx[level_idx], self.sb.nbr_ok[level_idx],
+            bias=b, compute_dtype=self.dt,
         )
-        b = (
-            self.param("bias", nn.initializers.zeros, (self.out_ch,))
-            if self.use_bias
-            else None
-        )
-        x = feats
-        if self.compute_dtype is not None:
-            x = x.astype(self.compute_dtype)
-        out = jnp.dot(
-            x,
-            w[0].astype(x.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        if b is not None:
-            out = out + b
-        return out.astype(feats.dtype)
 
-
-class SparseConvDown(nn.Module):
-    """Stride-2 kernel-2 sparse convolution via the octree PoolMap."""
-
-    out_ch: int
-    use_bias: bool = False
-    compute_dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, feats, pool, coarse_capacity):
-        w = self.param(
-            "kernel", _KERNEL_INIT, (8, feats.shape[-1], self.out_ch)
-        )
-        b = (
-            self.param("bias", nn.initializers.zeros, (self.out_ch,))
-            if self.use_bias
-            else None
-        )
+    def conv_down(self, feats, w, fine_idx):
         return sparse_conv_down(
-            feats, w, pool, coarse_capacity, bias=b,
-            compute_dtype=self.compute_dtype,
+            feats, w, self.sb.pools[fine_idx],
+            self.sb.levels[fine_idx + 1].capacity, compute_dtype=self.dt,
         )
 
-
-class SparseConvTr(nn.Module):
-    """Transposed stride-2 kernel-2 sparse convolution (decoder upsampling)."""
-
-    out_ch: int
-    use_bias: bool = False
-    compute_dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, feats_coarse, pool, fine_valid):
-        w = self.param(
-            "kernel", _KERNEL_INIT, (8, feats_coarse.shape[-1], self.out_ch)
-        )
-        b = (
-            self.param("bias", nn.initializers.zeros, (self.out_ch,))
-            if self.use_bias
-            else None
-        )
+    def conv_tr(self, feats, w, coarse_idx):
         return sparse_conv_tr(
-            feats_coarse, w, pool, fine_valid, bias=b,
-            compute_dtype=self.compute_dtype,
+            feats, w, self.sb.pools[coarse_idx - 1],
+            self.sb.levels[coarse_idx - 1].valid, compute_dtype=self.dt,
         )
 
-
-class InstanceNorm(nn.Module):
-    """Per-item per-channel normalization (ME.MinkowskiInstanceNorm)."""
-
-    @nn.compact
-    def __call__(self, feats, valid):
-        gamma = self.param("scale", nn.initializers.ones, (feats.shape[-1],))
-        beta = self.param("bias", nn.initializers.zeros, (feats.shape[-1],))
-        return instance_norm(feats, valid, gamma, beta)
-
-
-class BasicBlock(nn.Module):
-    """Residual block: conv3-IN-relu-conv3-IN (+1x1 shortcut) - relu.
-
-    Mirrors `mask3d/models/modules/resnet_block.py:7-68` with InstanceNorm.
-    """
-
-    planes: int
-    compute_dtype: Optional[Dtype] = None
-    expansion: int = 1
-
-    @nn.compact
-    def __call__(self, feats, level, nbr_idx, nbr_ok):
-        residual = feats
-        out = SparseConv(self.planes, nbr_idx.shape[-1],
-                         compute_dtype=self.compute_dtype)(
-            feats, nbr_idx, nbr_ok
+    def norm(self, feats, gamma, beta, level_idx):
+        return instance_norm(
+            feats, self.sb.levels[level_idx].valid, gamma, beta
         )
-        out = InstanceNorm()(out, level.valid)
-        out = nn.relu(out)
-        out = SparseConv(self.planes, nbr_idx.shape[-1],
-                         compute_dtype=self.compute_dtype)(
-            out, nbr_idx, nbr_ok
+
+    def cat(self, a, b):
+        return jnp.concatenate([a, b], axis=-1)
+
+    def rows(self, feats, level_idx):
+        return feats
+
+
+class _DenseCtx:
+    """Dense-grid execution: rows live as [B, Gx, Gy, Gz, C] per level."""
+
+    def __init__(self, sb: SparseBatch, grid_dims, compute_dtype):
+        self.sb = sb
+        self.dt = compute_dtype
+        self.grid_dims = list(grid_dims)  # per level
+        self.occ = [
+            dense_ops.occupancy(sb.levels[li], self.grid_dims[li])
+            for li in range(len(sb.levels))
+        ]
+
+    def scatter(self, feats_rows, level_idx):
+        return dense_ops.scatter_rows(
+            feats_rows, self.sb.levels[level_idx], self.grid_dims[level_idx]
         )
-        out = InstanceNorm()(out, level.valid)
-        if feats.shape[-1] != self.planes * self.expansion:
-            residual = SparseConv1x1(
-                self.planes * self.expansion, use_bias=False,
-                compute_dtype=self.compute_dtype,
-            )(feats)
-            residual = InstanceNorm()(residual, level.valid)
-        return nn.relu(out + residual)
+
+    def conv_in(self, x, w, b):
+        return dense_ops.dense_conv_same(
+            x, w, self.occ[0], bias=b, compute_dtype=self.dt
+        )
+
+    def conv3(self, x, w, level_idx, b=None):
+        return dense_ops.dense_conv_same(
+            x, w, self.occ[level_idx], bias=b, compute_dtype=self.dt
+        )
+
+    def conv_down(self, x, w, fine_idx):
+        return dense_ops.dense_conv_down(
+            x, w, self.occ[fine_idx + 1], compute_dtype=self.dt
+        )
+
+    def conv_tr(self, x, w, coarse_idx):
+        return dense_ops.dense_conv_tr(
+            x, w, self.occ[coarse_idx - 1], compute_dtype=self.dt
+        )
+
+    def norm(self, x, gamma, beta, level_idx):
+        return dense_ops.dense_instance_norm(
+            x, self.occ[level_idx], gamma, beta
+        )
+
+    def cat(self, a, b):
+        return jnp.concatenate([a, b], axis=-1)
+
+    def rows(self, x, level_idx):
+        return dense_ops.gather_rows(
+            x, self.sb.levels[level_idx], self.grid_dims[level_idx]
+        )
 
 
 class Res16UNetBase(nn.Module):
@@ -201,99 +158,127 @@ class Res16UNetBase(nn.Module):
     in_channels: int = 1
     conv1_kernel_size: int = 5
     compute_dtype: Optional[Dtype] = None
+    impl: str = "gather"  # "gather" | "dense"
     PLANES: Sequence[int] = (32, 64, 128, 256, 256, 256, 256, 256)
     LAYERS: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2)
     INIT_DIM: int = 32
 
-    def _blocks(self, feats, sb: SparseBatch, level_idx: int, planes: int,
-                n_blocks: int):
-        lv = sb.levels[level_idx]
-        for _ in range(n_blocks):
-            feats = BasicBlock(planes, compute_dtype=self.compute_dtype)(
-                feats, lv, sb.nbr_idx[level_idx], sb.nbr_ok[level_idx]
+    def _kernel(self, name, k, cin, cout):
+        return self.param(name + "_kernel", _KERNEL_INIT, (k, cin, cout))
+
+    def _norm_params(self, name, c):
+        return (
+            self.param(name + "_scale", nn.initializers.ones, (c,)),
+            self.param(name + "_bias", nn.initializers.zeros, (c,)),
+        )
+
+    def _block(self, ctx, name, x, level_idx, cin, planes):
+        """BasicBlock (`mask3d/models/modules/resnet_block.py:7-68`)."""
+        residual = x
+        w1 = self._kernel(f"{name}_conv1", 27, cin, planes)
+        g1, b1 = self._norm_params(f"{name}_norm1", planes)
+        out = ctx.conv3(x, w1, level_idx)
+        out = nn.relu(ctx.norm(out, g1, b1, level_idx))
+        w2 = self._kernel(f"{name}_conv2", 27, planes, planes)
+        g2, b2 = self._norm_params(f"{name}_norm2", planes)
+        out = ctx.conv3(out, w2, level_idx)
+        out = ctx.norm(out, g2, b2, level_idx)
+        if cin != planes:
+            wd = self._kernel(f"{name}_downsample", 1, cin, planes)
+            gd, bd = self._norm_params(f"{name}_downsample_norm", planes)
+            if self.impl == "dense":
+                residual = dense_ops.dense_conv_same(
+                    residual, wd, ctx.occ[level_idx], compute_dtype=ctx.dt
+                )
+            else:
+                r = residual
+                if ctx.dt is not None:
+                    r = r.astype(ctx.dt)
+                residual = jnp.dot(
+                    r, wd[0].astype(r.dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(r.dtype)
+            residual = ctx.norm(residual, gd, bd, level_idx)
+        return nn.relu(out + residual)
+
+    def _blocks(self, ctx, stage, x, level_idx, cin, planes, n):
+        for i in range(n):
+            x = self._block(
+                ctx, f"block{stage}_{i}", x, level_idx,
+                cin if i == 0 else planes, planes,
             )
-        return feats
+        return x
 
     @nn.compact
-    def __call__(self, feats, sb: SparseBatch) -> Tuple[Any, list]:
+    def __call__(self, feats, sb: SparseBatch, grid_dims=None
+                 ) -> Tuple[Any, list]:
         p = self.PLANES
         lay = self.LAYERS
-        dt = self.compute_dtype
+        k0 = self.conv1_kernel_size ** 3
+
+        if self.impl == "dense":
+            assert grid_dims is not None, "dense impl needs static grid dims"
+            ctx = _DenseCtx(sb, grid_dims, self.compute_dtype)
+            x = ctx.scatter(feats, 0)
+        else:
+            ctx = _GatherCtx(sb, self.compute_dtype)
+            x = feats
 
         # --- Encoder (reference res16unet.py:244-267) ---
-        out = SparseConv(self.INIT_DIM, sb.nbr0_idx.shape[-1],
-                         compute_dtype=dt)(feats, sb.nbr0_idx, sb.nbr0_ok)
-        out = InstanceNorm()(out, sb.levels[0].valid)
-        out_p1 = nn.relu(out)
+        w = self._kernel("conv0p1s1", k0, self.in_channels, self.INIT_DIM)
+        g, b = self._norm_params("bn0", self.INIT_DIM)
+        out = ctx.conv_in(x, w, None)
+        out_p1 = nn.relu(ctx.norm(out, g, b, 0))
 
-        out = SparseConvDown(self.INIT_DIM, compute_dtype=dt)(
-            out_p1, sb.pools[0], sb.levels[1].capacity
-        )
-        out = InstanceNorm()(out, sb.levels[1].valid)
-        out = nn.relu(out)
-        out_b1p2 = self._blocks(out, sb, 1, p[0], lay[0])
+        def down(name, x_in, fine_idx, cin, cout):
+            w = self._kernel(name, 8, cin, cout)
+            g, b = self._norm_params(name.replace("conv", "bn"), cout)
+            out = ctx.conv_down(x_in, w, fine_idx)
+            return nn.relu(ctx.norm(out, g, b, fine_idx + 1))
 
-        out = SparseConvDown(p[0], compute_dtype=dt)(
-            out_b1p2, sb.pools[1], sb.levels[2].capacity
-        )
-        out = InstanceNorm()(out, sb.levels[2].valid)
-        out = nn.relu(out)
-        out_b2p4 = self._blocks(out, sb, 2, p[1], lay[1])
+        out = down("conv1p1s2", out_p1, 0, self.INIT_DIM, self.INIT_DIM)
+        out_b1p2 = self._blocks(ctx, 1, out, 1, self.INIT_DIM, p[0], lay[0])
 
-        out = SparseConvDown(p[1], compute_dtype=dt)(
-            out_b2p4, sb.pools[2], sb.levels[3].capacity
-        )
-        out = InstanceNorm()(out, sb.levels[3].valid)
-        out = nn.relu(out)
-        out_b3p8 = self._blocks(out, sb, 3, p[2], lay[2])
+        out = down("conv2p2s2", out_b1p2, 1, p[0], p[0])
+        out_b2p4 = self._blocks(ctx, 2, out, 2, p[0], p[1], lay[1])
 
-        out = SparseConvDown(p[2], compute_dtype=dt)(
-            out_b3p8, sb.pools[3], sb.levels[4].capacity
-        )
-        out = InstanceNorm()(out, sb.levels[4].valid)
-        out = nn.relu(out)
-        out = self._blocks(out, sb, 4, p[3], lay[3])
+        out = down("conv3p4s2", out_b2p4, 2, p[1], p[1])
+        out_b3p8 = self._blocks(ctx, 3, out, 3, p[1], p[2], lay[2])
 
-        feature_maps = [out]  # stride 16
+        out = down("conv4p8s2", out_b3p8, 3, p[2], p[2])
+        out = self._blocks(ctx, 4, out, 4, p[2], p[3], lay[3])
+
+        feature_maps = [ctx.rows(out, 4)]  # stride 16
 
         # --- Decoder (reference res16unet.py:271-309) ---
-        out = SparseConvTr(p[4], compute_dtype=dt)(
-            out, sb.pools[3], sb.levels[3].valid
-        )
-        out = InstanceNorm()(out, sb.levels[3].valid)
-        out = nn.relu(out)
-        out = cat_features(out, out_b3p8)
-        out = self._blocks(out, sb, 3, p[4], lay[4])
-        feature_maps.append(out)  # stride 8
+        def up(name, x_in, coarse_idx, cin, cout):
+            w = self._kernel(name, 8, cin, cout)
+            g, b = self._norm_params(name.replace("convtr", "bntr"), cout)
+            out = ctx.conv_tr(x_in, w, coarse_idx)
+            return nn.relu(ctx.norm(out, g, b, coarse_idx - 1))
 
-        out = SparseConvTr(p[5], compute_dtype=dt)(
-            out, sb.pools[2], sb.levels[2].valid
-        )
-        out = InstanceNorm()(out, sb.levels[2].valid)
-        out = nn.relu(out)
-        out = cat_features(out, out_b2p4)
-        out = self._blocks(out, sb, 2, p[5], lay[5])
-        feature_maps.append(out)  # stride 4
+        out = up("convtr4p16s2", out, 4, p[3], p[4])
+        out = ctx.cat(out, out_b3p8)
+        out = self._blocks(ctx, 5, out, 3, p[4] + p[2], p[4], lay[4])
+        feature_maps.append(ctx.rows(out, 3))  # stride 8
 
-        out = SparseConvTr(p[6], compute_dtype=dt)(
-            out, sb.pools[1], sb.levels[1].valid
-        )
-        out = InstanceNorm()(out, sb.levels[1].valid)
-        out = nn.relu(out)
-        out = cat_features(out, out_b1p2)
-        out = self._blocks(out, sb, 1, p[6], lay[6])
-        feature_maps.append(out)  # stride 2
+        out = up("convtr5p8s2", out, 3, p[4], p[5])
+        out = ctx.cat(out, out_b2p4)
+        out = self._blocks(ctx, 6, out, 2, p[5] + p[1], p[5], lay[5])
+        feature_maps.append(ctx.rows(out, 2))  # stride 4
 
-        out = SparseConvTr(p[7], compute_dtype=dt)(
-            out, sb.pools[0], sb.levels[0].valid
-        )
-        out = InstanceNorm()(out, sb.levels[0].valid)
-        out = nn.relu(out)
-        out = cat_features(out, out_p1)
-        out = self._blocks(out, sb, 0, p[7], lay[7])
-        feature_maps.append(out)  # stride 1
+        out = up("convtr6p4s2", out, 2, p[5], p[6])
+        out = ctx.cat(out, out_b1p2)
+        out = self._blocks(ctx, 7, out, 1, p[6] + p[0], p[6], lay[6])
+        feature_maps.append(ctx.rows(out, 1))  # stride 2
 
-        return out, feature_maps
+        out = up("convtr7p2s2", out, 1, p[6], p[7])
+        out = ctx.cat(out, out_p1)
+        out = self._blocks(ctx, 8, out, 0, p[7] + self.INIT_DIM, p[7], lay[7])
+        out_rows = ctx.rows(out, 0)
+        feature_maps.append(out_rows)  # stride 1
+
+        return out_rows, feature_maps
 
 
 class Res16UNet14(Res16UNetBase):

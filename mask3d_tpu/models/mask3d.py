@@ -198,6 +198,7 @@ class Mask3D(nn.Module):
     max_sample_size: bool = False
     shared_decoder: bool = True
     backbone_name: str = "Res16UNet34C"
+    backbone_impl: str = "gather"  # "gather" | "dense" (see backbone.py)
     in_channels: int = 1
     conv1_kernel_size: int = 5
     compute_dtype: Optional[Any] = None
@@ -215,8 +216,8 @@ class Mask3D(nn.Module):
         raise ValueError(self.positional_encoding_type)
 
     @nn.compact
-    def __call__(self, sb: SparseBatch, feats, raw_coords, is_eval=False
-                 ) -> Mask3DOutput:
+    def __call__(self, sb: SparseBatch, feats, raw_coords, is_eval=False,
+                 grid_dims=None) -> Mask3DOutput:
         """feats: [B, N1, in_channels]; raw_coords: f32[B, N1, 3] (the voxel
         coordinates as floats, the reference's `input_batch.coordinates[:,1:4]`
         used as PE/FPS positions, `mask3d/models/mask3d.py:286-294`)."""
@@ -229,9 +230,10 @@ class Mask3D(nn.Module):
             in_channels=self.in_channels,
             conv1_kernel_size=self.conv1_kernel_size,
             compute_dtype=self.compute_dtype,
+            impl=self.backbone_impl,
             name="backbone",
         )
-        bb_out, feature_maps = backbone(feats, sb)
+        bb_out, feature_maps = backbone(feats, sb, grid_dims)
         # feature_maps: [s16, s8, s4, s2, s1]; sparse level of fm[i] = 4-i.
         fm_level = [n_levels - 1 - i for i in range(n_levels)]
 

@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-SENT = jnp.int32(2**31 - 1)  # sentinel for "unassigned"
+SENT = np.int32(2**31 - 1)  # sentinel for "unassigned" (host constant)
 
 
 def _solve_square(cost):

@@ -11,7 +11,7 @@ static (per-level capacities come from the collator's bucket config).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 from flax import struct
@@ -21,8 +21,10 @@ from mask3d_tpu.sparse.core import (
     PoolMap,
     build_base_level,
     build_pyramid,
+    build_row_table,
     cube_offsets,
     neighbor_map,
+    neighbor_map_table,
 )
 
 
@@ -59,20 +61,37 @@ def build_sparse_batch(
     level_capacities: Sequence[int],
     conv1_kernel_size: int = 5,
     build_block_maps: bool = True,
+    grid_cells: Optional[Sequence[int]] = None,
 ) -> SparseBatch:
     """Build the full sparse context from collated stride-1 voxels.
 
     coords: i32[B, N, 3] sorted per item with padding at the end;
     count: i32[B]; dims: i32[B, 3].
     level_capacities: capacities of the coarser levels (len = num_levels-1).
+    grid_cells: static per-level dense-grid cell counts (>= Dx*Dy*Dz of
+    every item at that level — `DeviceBatch.grid_cells` from the collator).
+    When given, kernel maps are built with O(1) dense-table lookups instead
+    of binary search (~15-30x faster on TPU).
     """
     base = build_base_level(coords, count, dims)
     levels, pools = build_pyramid(base, level_capacities)
     off3 = cube_offsets(1)
+
+    _tables = {}
+
+    def maps_for(level_idx, offsets):
+        lv = levels[level_idx]
+        if grid_cells is not None:
+            table = _tables.setdefault(
+                level_idx, build_row_table(lv, int(grid_cells[level_idx]))
+            )
+            return neighbor_map_table(lv, table, offsets)
+        return neighbor_map(lv, offsets)
+
     nbr_idx, nbr_ok = [], []
     if build_block_maps:
-        for lv in levels:
-            i, o = neighbor_map(lv, off3)
+        for li in range(len(levels)):
+            i, o = maps_for(li, off3)
             nbr_idx.append(i)
             nbr_ok.append(o)
     nbr0_idx = nbr0_ok = None
@@ -82,7 +101,7 @@ def build_sparse_batch(
             nbr0_idx, nbr0_ok = nbr_idx[0], nbr_ok[0]
         else:
             off0 = cube_offsets(conv1_kernel_size // 2)
-            nbr0_idx, nbr0_ok = neighbor_map(levels[0], off0)
+            nbr0_idx, nbr0_ok = maps_for(0, off0)
     return SparseBatch(
         levels=tuple(levels),
         pools=tuple(pools),

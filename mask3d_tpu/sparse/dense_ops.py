@@ -1,0 +1,144 @@
+"""Dense-grid execution of sparse (submanifold) convolutions.
+
+TPU-first alternative to gather-matmul sparse convolution: room-scene voxel
+grids are small (10^5-10^6 cells), so the backbone can scatter its rows into
+the dense grid once, run every convolution as `lax.conv_general_dilated`
+(pure MXU work — no gathers), and gather rows back only at the feature-map
+tap points. Submanifold semantics (outputs only at occupied voxels —
+MinkowskiEngine convolution behavior, consumed via
+`mask3d/models/modules/common.py:128-160`) are preserved by re-masking with
+the occupancy grid after every conv; zero padding equals the missing-neighbor
+zeros of the gather path, so both paths are numerically identical (tested in
+`tests/test_dense_ops.py`).
+
+Measured motivation: XLA TPU row gathers run at ~65M rows/s, making the
+gather path ~10 s/batch; dense conv on these grids is MXU-bound instead.
+
+Weight layout compatibility: a gather-path weight `[K, Cin, Cout]` with the
+`cube_offsets` enumeration (x-major, z-fastest == C-order ravel of the
+kernel cube) reshapes directly to `[kx, ky, kz, Cin, Cout]`.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mask3d_tpu.sparse.core import SparseLevel
+
+_DN = ("NHWDC", "HWDIO", "NHWDC")  # 3 spatial dims, feature-last
+
+
+def static_keys(level: SparseLevel, grid_dims: Sequence[int]):
+    """Linear cell index of each row in the STATIC batch grid (the per-item
+    `level.key` uses per-item dims and cannot index a shared dense grid)."""
+    gx, gy, gz = grid_dims
+    c = level.coords
+    return (c[..., 0] * gy + c[..., 1]) * gz + c[..., 2]
+
+
+def scatter_rows(feats, level: SparseLevel, grid_dims: Sequence[int]):
+    """[B, N, C] rows -> [B, Gx, Gy, Gz, C] dense grid (zeros elsewhere)."""
+    b, _, c = feats.shape
+    gx, gy, gz = grid_dims
+    cells = gx * gy * gz
+    key = jnp.where(static_keys(level, grid_dims) < cells,
+                    static_keys(level, grid_dims), cells)
+    key = jnp.where(level.valid, key, cells)
+    b_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    flat = (
+        jnp.zeros((b, cells + 1, c), feats.dtype)
+        .at[b_idx, key]
+        .set(feats, mode="drop")
+    )
+    return flat[:, :cells].reshape(b, gx, gy, gz, c)
+
+
+def gather_rows(dense, level: SparseLevel, grid_dims: Sequence[int]):
+    """[B, Gx, Gy, Gz, C] -> [B, N, C] rows of this level (padding zeroed)."""
+    b = dense.shape[0]
+    c = dense.shape[-1]
+    cells = grid_dims[0] * grid_dims[1] * grid_dims[2]
+    key = jnp.clip(static_keys(level, grid_dims), 0, cells - 1)
+    flat = dense.reshape(b, cells, c)
+    rows = jnp.take_along_axis(flat, key[..., None], axis=1)
+    return jnp.where(level.valid[..., None], rows, 0)
+
+
+def occupancy(level: SparseLevel, grid_dims: Sequence[int], dtype=jnp.float32):
+    """[B, Gx, Gy, Gz, 1] indicator of occupied cells at this level."""
+    ones = jnp.ones(level.valid.shape + (1,), dtype)
+    ones = jnp.where(level.valid[..., None], ones, 0)
+    return scatter_rows(ones, level, grid_dims)
+
+
+def _conv(x, w, strides, padding, transpose=False):
+    if transpose:
+        return jax.lax.conv_transpose(
+            x, w, strides=strides, padding=padding, dimension_numbers=_DN,
+        )
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=strides, padding=padding,
+        dimension_numbers=_DN,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def dense_conv_same(x, weight, occ, bias=None, compute_dtype=None):
+    """Same-stride submanifold conv. weight: [K, Cin, Cout] (cube ravel)."""
+    k = round(weight.shape[0] ** (1.0 / 3.0))
+    assert k**3 == weight.shape[0], weight.shape
+    w = weight.reshape(k, k, k, weight.shape[1], weight.shape[2])
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = _conv(x, w, (1, 1, 1), "SAME")
+    if bias is not None:
+        out = out + bias
+    return (out * occ).astype(x.dtype)
+
+
+def dense_conv_down(x, weight, occ_coarse, bias=None, compute_dtype=None):
+    """Stride-2 kernel-2 conv; grid dims must be even. weight: [8, Cin, Cout]
+    with the 3-bit (x,y,z) child enumeration (== C-order [2,2,2] ravel)."""
+    w = weight.reshape(2, 2, 2, weight.shape[1], weight.shape[2])
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = _conv(x, w, (2, 2, 2), "VALID")
+    if bias is not None:
+        out = out + bias
+    return (out * occ_coarse).astype(x.dtype)
+
+
+def dense_conv_tr(x, weight, occ_fine, bias=None, compute_dtype=None):
+    """Transposed stride-2 kernel-2 conv: out[2i+d] = in[i] @ w[d].
+
+    `lax.conv_transpose` applies the kernel spatially mirrored relative to
+    this contract, so the cube axes are flipped here.
+    """
+    w = weight.reshape(2, 2, 2, weight.shape[1], weight.shape[2])
+    w = w[::-1, ::-1, ::-1]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = _conv(x, w, (2, 2, 2), "VALID", transpose=True)
+    if bias is not None:
+        out = out + bias
+    return (out * occ_fine).astype(x.dtype)
+
+
+def dense_instance_norm(x, occ, gamma, beta, eps=1e-5):
+    """Per-item per-channel norm over occupied cells (ME InstanceNorm)."""
+    f32 = (x * occ).astype(jnp.float32)
+    axes = (1, 2, 3)
+    cnt = jnp.maximum(jnp.sum(occ.astype(jnp.float32), axis=axes), 1.0)
+    cnt = cnt[:, None, None, None, :]
+    mean = jnp.sum(f32, axis=axes, keepdims=True) / cnt
+    sq = jnp.sum(f32 * f32, axis=axes, keepdims=True) / cnt
+    var = jnp.maximum(sq - mean * mean, 0.0)
+    out = (f32 - mean) * jax.lax.rsqrt(var + eps)
+    out = out * gamma + beta
+    return (out * occ).astype(x.dtype)

@@ -63,6 +63,7 @@ def make_model(cfg: Config) -> Mask3D:
         max_sample_size=cfg.model.max_sample_size,
         shared_decoder=cfg.model.shared_decoder,
         backbone_name=cfg.model.backbone,
+        backbone_impl=cfg.model.backbone_impl,
         in_channels=cfg.data.in_channels,
         conv1_kernel_size=cfg.model.conv1_kernel_size,
         compute_dtype=dt,
@@ -118,6 +119,21 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     return tx
 
 
+def _sb_kwargs(cfg: Config, batch_grid_dims):
+    """build_sparse_batch kwargs per impl: the dense path needs no kernel
+    maps (saving their construction cost), the gather path needs them."""
+    cells = tuple(
+        int(d[0] * d[1] * d[2]) for d in batch_grid_dims
+    ) if batch_grid_dims is not None else None
+    if cfg.model.backbone_impl == "dense":
+        return dict(
+            grid_cells=cells,
+            build_block_maps=False,
+            conv1_kernel_size=None,
+        )
+    return dict(grid_cells=cells, conv1_kernel_size=cfg.model.conv1_kernel_size)
+
+
 def level_capacities(cfg: Config, n_points: int):
     return [
         max(8, int(n_points * r)) for r in cfg.data.level_cap_ratios
@@ -139,11 +155,12 @@ def init_state(cfg: Config, example: DeviceBatch, seed: Optional[int] = None
         sb = build_sparse_batch(
             coords, counts, dims,
             level_capacities(cfg, coords.shape[1]),
-            conv1_kernel_size=cfg.model.conv1_kernel_size,
+            **_sb_kwargs(cfg, example.grid_dims),
         )
         return model.init(
             {"params": k_param, "sample": k_sample, "queries": k_sample},
             sb, feats, coords.astype(jnp.float32), False,
+            grid_dims=example.grid_dims,
         )
 
     variables = _init(
@@ -172,7 +189,7 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
         sb = build_sparse_batch(
             batch.coords, batch.counts, batch.dims,
             level_capacities(cfg, batch.coords.shape[1]),
-            conv1_kernel_size=cfg.model.conv1_kernel_size,
+            **_sb_kwargs(cfg, batch.grid_dims),
         )
         raw = batch.coords.astype(jnp.float32)
         targets = batch.target.with_label_offset(
@@ -183,6 +200,7 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
             out: Mask3DOutput = model.apply(
                 {"params": params, "buffers": state.buffers},
                 sb, batch.feats, raw, False,
+                grid_dims=batch.grid_dims,
                 rngs={"sample": k_sample, "queries": k_queries},
             )
             losses = criterion(out, targets, sb.levels[0].valid)
@@ -211,12 +229,13 @@ def make_eval_step(cfg: Config, model: Mask3D, criterion: SetCriterion
         sb = build_sparse_batch(
             batch.coords, batch.counts, batch.dims,
             level_capacities(cfg, batch.coords.shape[1]),
-            conv1_kernel_size=cfg.model.conv1_kernel_size,
+            **_sb_kwargs(cfg, batch.grid_dims),
         )
         raw = batch.coords.astype(jnp.float32)
         out: Mask3DOutput = model.apply(
             {"params": state.params, "buffers": state.buffers},
             sb, batch.feats, raw, True,
+            grid_dims=batch.grid_dims,
         )
         targets = batch.target.with_label_offset(
             cfg.data.prediction_label_offset

@@ -75,6 +75,8 @@ def _prefetch(iterable: Iterable, depth: int = 2):
 class InstanceSegmentationTrainer:
     def __init__(self, cfg: Config, datasets: Optional[dict] = None):
         self.cfg = cfg
+        if cfg.trainer.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.run_dir = os.path.join(
             cfg.general.save_dir,
             cfg.general.experiment_name,
@@ -184,13 +186,25 @@ class InstanceSegmentationTrainer:
 
     def train_epoch(self) -> Dict[str, float]:
         cfg = self.cfg
+        prof_dir = os.path.join(self.run_dir, "profile")
         for host in _prefetch(
             self._batches("train", cfg.data.batch_size, shuffle=True)
         ):
+            step_now = int(self.state.step)
+            if cfg.trainer.profile_steps and step_now == cfg.trainer.profile_start:
+                jax.profiler.start_trace(prof_dir)
             meter.notify_start_item()
             batch = self._to_device(host)
             meter.add_timing("data_preparation")
             self.state, losses = self.train_step(self.state, batch)
+            if (
+                cfg.trainer.profile_steps
+                and step_now
+                == cfg.trainer.profile_start + cfg.trainer.profile_steps
+            ):
+                jax.block_until_ready(losses["loss"])
+                jax.profiler.stop_trace()
+                logger.info(f"profiler trace written to {prof_dir}")
             step = int(self.state.step)
             if step % cfg.trainer.log_every_n_steps == 0:
                 host_losses = {

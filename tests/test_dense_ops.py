@@ -1,0 +1,167 @@
+"""Dense-grid execution parity: dense conv path == gather conv path.
+
+The dense backbone path must be numerically identical to the gather path
+(same params, submanifold masking == missing-neighbor zeros)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mask3d_tpu.sparse import (
+    build_base_level,
+    build_sparse_batch,
+    cube_offsets,
+    downsample_level,
+    neighbor_map,
+    sparse_conv,
+    sparse_conv_down,
+    sparse_conv_tr,
+    instance_norm,
+)
+from mask3d_tpu.sparse import dense_ops
+from tests.test_sparse_core import make_batch
+
+
+GRID = (16, 16, 8)
+
+
+def make_level(rng):
+    return make_batch(rng, num_items=2, dims=GRID, max_pts=80, capacity=128)
+
+
+def test_scatter_gather_roundtrip(rng):
+    level, _ = make_level(rng)
+    feats = rng.normal(size=(2, level.capacity, 5)).astype(np.float32)
+    feats[~np.asarray(level.valid)] = 0
+    dense = dense_ops.scatter_rows(jnp.asarray(feats), level, GRID)
+    back = dense_ops.gather_rows(dense, level, GRID)
+    np.testing.assert_array_equal(np.asarray(back), feats)
+    # occupancy counts match
+    occ = dense_ops.occupancy(level, GRID)
+    assert int(np.asarray(occ).sum()) == int(np.asarray(level.count).sum())
+
+
+def test_dense_conv_same_matches_gather(rng):
+    level, _ = make_level(rng)
+    cin, cout = 5, 6
+    feats = rng.normal(size=(2, level.capacity, cin)).astype(np.float32)
+    feats[~np.asarray(level.valid)] = 0
+    for radius in (1, 2):
+        offsets = cube_offsets(radius)
+        w = rng.normal(size=(len(offsets), cin, cout)).astype(np.float32)
+        idx, ok = neighbor_map(level, offsets)
+        ref = sparse_conv(jnp.asarray(feats), jnp.asarray(w), idx, ok)
+        dense = dense_ops.scatter_rows(jnp.asarray(feats), level, GRID)
+        out_d = dense_ops.dense_conv_same(
+            dense, jnp.asarray(w), dense_ops.occupancy(level, GRID)
+        )
+        got = dense_ops.gather_rows(out_d, level, GRID)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_dense_conv_down_matches_gather(rng):
+    level, _ = make_level(rng)
+    coarse, pool = downsample_level(level, 128)
+    grid_c = tuple(d // 2 for d in GRID)
+    cin, cout = 4, 5
+    feats = rng.normal(size=(2, level.capacity, cin)).astype(np.float32)
+    feats[~np.asarray(level.valid)] = 0
+    w = rng.normal(size=(8, cin, cout)).astype(np.float32)
+    ref = sparse_conv_down(
+        jnp.asarray(feats), jnp.asarray(w), pool, coarse.capacity
+    )
+    dense = dense_ops.scatter_rows(jnp.asarray(feats), level, GRID)
+    out_d = dense_ops.dense_conv_down(
+        dense, jnp.asarray(w), dense_ops.occupancy(coarse, grid_c)
+    )
+    got = dense_ops.gather_rows(out_d, coarse, grid_c)
+    # Compare rows of the coarse level
+    cv = np.asarray(coarse.valid)
+    np.testing.assert_allclose(
+        np.asarray(got)[cv], np.asarray(ref)[cv], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_dense_conv_tr_matches_gather(rng):
+    level, _ = make_level(rng)
+    coarse, pool = downsample_level(level, 128)
+    grid_c = tuple(d // 2 for d in GRID)
+    cin, cout = 4, 5
+    cfeats = rng.normal(size=(2, coarse.capacity, cin)).astype(np.float32)
+    cfeats[~np.asarray(coarse.valid)] = 0
+    w = rng.normal(size=(8, cin, cout)).astype(np.float32)
+    ref = sparse_conv_tr(jnp.asarray(cfeats), jnp.asarray(w), pool, level.valid)
+    dense_c = dense_ops.scatter_rows(jnp.asarray(cfeats), coarse, grid_c)
+    out_d = dense_ops.dense_conv_tr(
+        dense_c, jnp.asarray(w), dense_ops.occupancy(level, GRID)
+    )
+    got = dense_ops.gather_rows(out_d, level, GRID)
+    v = np.asarray(level.valid)
+    np.testing.assert_allclose(
+        np.asarray(got)[v], np.asarray(ref)[v], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_dense_instance_norm_matches_rows(rng):
+    level, _ = make_level(rng)
+    c = 6
+    feats = rng.normal(size=(2, level.capacity, c)).astype(np.float32) * 2
+    feats[~np.asarray(level.valid)] = 0
+    gamma = rng.normal(size=(c,)).astype(np.float32)
+    beta = rng.normal(size=(c,)).astype(np.float32)
+    ref = instance_norm(
+        jnp.asarray(feats), level.valid, jnp.asarray(gamma), jnp.asarray(beta)
+    )
+    dense = dense_ops.scatter_rows(jnp.asarray(feats), level, GRID)
+    out_d = dense_ops.dense_instance_norm(
+        dense, dense_ops.occupancy(level, GRID), jnp.asarray(gamma),
+        jnp.asarray(beta),
+    )
+    got = dense_ops.gather_rows(out_d, level, GRID)
+    v = np.asarray(level.valid)
+    np.testing.assert_allclose(
+        np.asarray(got)[v], np.asarray(ref)[v], rtol=1e-3, atol=1e-3
+    )
+
+
+def test_backbone_dense_matches_gather(rng):
+    """Full Res16UNet forward: identical outputs from both impls."""
+    from mask3d_tpu.models.backbone import Res16UNet14A
+
+    level, _ = make_batch(rng, num_items=2, dims=(16, 16, 16), max_pts=200,
+                          capacity=256)
+    grid_dims = tuple(
+        (16 >> l, 16 >> l, 16 >> l) for l in range(5)
+    )
+    cells = tuple(int(np.prod(d)) for d in grid_dims)
+    sb_g = build_sparse_batch(
+        level.coords, level.count, level.dims,
+        level_capacities=[256, 128, 64, 32], conv1_kernel_size=3,
+        grid_cells=cells,
+    )
+    sb_d = build_sparse_batch(
+        level.coords, level.count, level.dims,
+        level_capacities=[256, 128, 64, 32], conv1_kernel_size=None,
+        build_block_maps=False, grid_cells=cells,
+    )
+    feats = jnp.ones((2, 256, 1), jnp.float32)
+    feats = jnp.where(level.valid[..., None], feats, 0)
+
+    mg = Res16UNet14A(in_channels=1, conv1_kernel_size=3, impl="gather")
+    md = Res16UNet14A(in_channels=1, conv1_kernel_size=3, impl="dense")
+    params = mg.init(jax.random.PRNGKey(0), feats, sb_g)
+    out_g, fmaps_g = mg.apply(params, feats, sb_g)
+    out_d, fmaps_d = md.apply(params, feats, sb_d, grid_dims)
+
+    v = np.asarray(level.valid)
+    np.testing.assert_allclose(
+        np.asarray(out_d)[v], np.asarray(out_g)[v], rtol=2e-3, atol=2e-3
+    )
+    for fg, fd, lv in zip(fmaps_g, fmaps_d, reversed(sb_g.levels)):
+        lvv = np.asarray(lv.valid)
+        np.testing.assert_allclose(
+            np.asarray(fd)[lvv], np.asarray(fg)[lvv], rtol=2e-3, atol=2e-3
+        )

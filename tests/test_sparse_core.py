@@ -233,3 +233,33 @@ def test_build_sparse_batch(rng):
     rows = np.tile(np.arange(level.capacity), (level.batch_size, 1))
     assert np.array_equal(ok, v)
     assert np.array_equal(idx[v], rows[v])
+
+
+def test_neighbor_map_table_matches_search(rng):
+    from mask3d_tpu.sparse.core import build_row_table, neighbor_map_table
+
+    level, _ = make_batch(rng, dims=(16, 16, 8))
+    offsets = cube_offsets(2)  # 5^3 kernel
+    idx_s, ok_s = neighbor_map(level, offsets)
+    table = build_row_table(level, 16 * 16 * 8)
+    idx_t, ok_t = neighbor_map_table(level, table, offsets, chunk=17)
+    assert np.array_equal(np.asarray(ok_s), np.asarray(ok_t))
+    # indices must agree wherever the neighbor exists
+    ok = np.asarray(ok_s)
+    assert np.array_equal(np.asarray(idx_s)[ok], np.asarray(idx_t)[ok])
+
+
+def test_build_sparse_batch_with_grid_cells(rng):
+    level, _ = make_batch(rng, dims=(16, 16, 8))
+    kw = dict(level_capacities=[96, 48, 48, 48], conv1_kernel_size=5)
+    sb_search = build_sparse_batch(level.coords, level.count, level.dims, **kw)
+    sb_table = build_sparse_batch(
+        level.coords, level.count, level.dims,
+        grid_cells=(2048, 512, 128, 64, 64), **kw,
+    )
+    for a, b in zip(sb_search.nbr_ok, sb_table.nbr_ok):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    ok = np.asarray(sb_search.nbr0_ok)
+    assert np.array_equal(
+        np.asarray(sb_search.nbr0_idx)[ok], np.asarray(sb_table.nbr0_idx)[ok]
+    )
