@@ -252,3 +252,25 @@ def flatten_dict(d: dict, parent: str = "", sep: str = "_") -> dict:
         else:
             items[nk] = v
     return items
+
+
+def to_yaml(cfg: Config, path: str):
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+
+
+def from_yaml(path: str) -> Config:
+    import yaml
+
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    cfg = Config()
+    for group, values in (d or {}).items():
+        obj = getattr(cfg, group)
+        for k, v in values.items():
+            if isinstance(v, list):
+                v = tuple(v)
+            setattr(obj, k, v)
+    return cfg

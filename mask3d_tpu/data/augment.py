@@ -107,3 +107,64 @@ def make_augmentation(name: Optional[str], seed: Optional[int] = None
             seed,
         )
     raise ValueError(f"unknown augmentation preset: {name}")
+
+
+def make_crops(items, rng: Optional[np.random.Generator] = None):
+    """Quadrant crops of each scene (reference `make_crops`,
+    `mask3d/datasets/utils.py:332-383`, enabled by the latent
+    `small_crops`/`very_small_crops` collation options): center the cloud,
+    add one guard point per quadrant, emit the four xy-quadrants re-centered.
+    """
+    out = []
+    for item in items:
+        pts = np.asarray(item["coordinates"], np.float32).copy()
+        feats = np.asarray(item["features"]).copy()
+        labels = np.asarray(item["labels"]).copy()
+        pts -= pts.mean(0)
+        guards = np.array(
+            [[0.1, 0.1, 0.1], [0.1, -0.1, 0.1],
+             [-0.1, 0.1, 0.1], [-0.1, -0.1, 0.1]], np.float32
+        )
+        pts = np.vstack([pts, guards])
+        feats = np.vstack([feats, np.zeros((4, feats.shape[1]), feats.dtype)])
+        labels = np.vstack(
+            [labels, np.full((4, labels.shape[1]), 255, labels.dtype)]
+        )
+        for sx, sy in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+            sel = (pts[:, 0] * sx > 0) & (pts[:, 1] * sy > 0)
+            if sel.sum() <= 1:
+                continue
+            crop_pts = pts[sel] - pts[sel].mean(0)
+            out.append(
+                {
+                    **item,
+                    "coordinates": crop_pts,
+                    "features": feats[sel],
+                    "labels": labels[sel],
+                    "raw_coordinates": crop_pts.copy(),
+                    "raw_features": feats[sel].copy(),
+                    "raw_labels": labels[sel].copy(),
+                }
+            )
+    return out
+
+
+def random_cuboid_crop(rng, points, features, labels, min_points: int = 30000,
+                       aspect: float = 0.8, min_crop: float = 0.5,
+                       max_crop: float = 1.0, max_tries: int = 100):
+    """RandomCuboid crop (reference `mask3d/datasets/random_cuboid.py:17-96`,
+    latent behind the `cropping` config): sample an axis-aligned xy cuboid of
+    random relative size with bounded aspect ratio; keep the crop if enough
+    points survive, else return the input unchanged."""
+    span = points.max(0) - points.min(0)
+    for _ in range(max_tries):
+        crop = min_crop + rng.random(3) * (max_crop - min_crop)
+        if crop[0] / crop[1] < aspect or crop[1] / crop[0] < aspect:
+            continue
+        size = span * crop
+        lo = points.min(0) + rng.random(3) * (span - size)
+        hi = lo + size
+        sel = np.all((points[:, :3] >= lo) & (points[:, :3] <= hi), axis=1)
+        if sel.sum() >= min_points or sel.sum() == len(points):
+            return points[sel], features[sel], labels[sel]
+    return points, features, labels

@@ -266,6 +266,16 @@ class Mask3D(nn.Module):
         mask_feats = nn.Dense(D, name="mask_features_head")(bb_out)
         mask_feats = jnp.where(sb.levels[0].valid[..., None], mask_feats, 0)
 
+        # Pooled mask-feature pyramid: average pooling is linear, so
+        # pool^k(F @ E^T) == (pool^k F) @ E^T — computing the pooled features
+        # ONCE replaces the reference's per-iteration pooling chains of
+        # full-resolution mask logits (`mask3d.py:546-547`), exactly.
+        mask_feats_pyr = [jax.lax.stop_gradient(mask_feats)]
+        for i, pool in enumerate(sb.pools):
+            mask_feats_pyr.append(
+                avg_pool(mask_feats_pyr[-1], pool, sb.levels[i + 1].capacity)
+            )
+
         # --- Query initialization (reference mask3d.py:306-376) ---
         sampled_coords = None
         if self.non_parametric_queries:
@@ -343,7 +353,8 @@ class Mask3D(nn.Module):
         class_embed = nn.Dense(self.num_classes + 1, name="class_embed_head")
 
         def mask_module(qs, num_pooling_steps, ret_attn=True):
-            """Reference mask3d.py:520-561."""
+            """Reference mask3d.py:520-561 (attention masks via the pooled
+            mask-feature pyramid — see comment above; exact by linearity)."""
             qn = decoder_norm(qs)
             mask_embed = mask_embed_out(nn.relu(mask_embed_hidden(qn)))
             out_class = class_embed(qn)
@@ -353,11 +364,12 @@ class Mask3D(nn.Module):
             )
             if not ret_attn:
                 return out_class, out_masks, None
-            pooled = jax.lax.stop_gradient(out_masks)
-            for k in range(num_pooling_steps):
-                pooled = avg_pool(
-                    pooled, sb.pools[k], sb.levels[k + 1].capacity
-                )
+            pooled = jnp.einsum(
+                "bnd,bqd->bnq",
+                mask_feats_pyr[num_pooling_steps],
+                jax.lax.stop_gradient(mask_embed),
+                preferred_element_type=jnp.float32,
+            )
             attn_bool = jax.nn.sigmoid(pooled) < 0.5  # True = blocked
             return out_class, out_masks, attn_bool
 

