@@ -25,7 +25,7 @@ import numpy as np
 BASELINE_POINTS_PER_SEC = 1.0e6  # estimated A100 reference pipeline
 
 
-def main():
+def main(batch_size: int = 8):
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +39,6 @@ def main():
 
     # Scenes sized like Structured3D at rasterization 150mm (~50k voxels).
     rng = np.random.default_rng(0)
-    batch_size = 4
     items = [
         make_synthetic_scene(
             rng, num_rooms_x=3, num_rooms_y=2, room_size=36, height=18,
@@ -105,4 +104,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -132,25 +132,33 @@ class VoxelizeCollate:
         self.instance_bucket_multiple = instance_bucket_multiple
         self.num_queries = num_queries
 
+    def _prepare_item(self, item: dict) -> dict:
+        coords, keep, dims = voxelize_item(item["coordinates"])
+        labels = np.asarray(item["labels"])[keep].astype(np.int32)
+        feats = np.asarray(item["features"])[keep].astype(np.float32)
+        raw_c = np.asarray(item["raw_coordinates"])[keep]
+        raw_f = np.asarray(item["raw_features"])[keep]
+        raw_l = np.asarray(item["raw_labels"])[keep]
+        tl, tm, inst_ids = build_item_target(
+            labels, self.filter_out_classes, self.filter_out_instance_ids
+        )
+        return dict(coords=coords, dims=dims, labels=labels, feats=feats,
+                    raw_c=raw_c, raw_f=raw_f, raw_l=raw_l,
+                    t_labels=tl, t_masks=tm, inst_ids=inst_ids,
+                    scene=item["scene"])
+
     def __call__(self, batch: List[dict]) -> HostBatch:
         b = len(batch)
-        per_item = []
-        for item in batch:
-            coords, keep, dims = voxelize_item(item["coordinates"])
-            labels = np.asarray(item["labels"])[keep].astype(np.int32)
-            feats = np.asarray(item["features"])[keep].astype(np.float32)
-            raw_c = np.asarray(item["raw_coordinates"])[keep]
-            raw_f = np.asarray(item["raw_features"])[keep]
-            raw_l = np.asarray(item["raw_labels"])[keep]
-            tl, tm, inst_ids = build_item_target(
-                labels, self.filter_out_classes, self.filter_out_instance_ids
-            )
-            per_item.append(
-                dict(coords=coords, dims=dims, labels=labels, feats=feats,
-                     raw_c=raw_c, raw_f=raw_f, raw_l=raw_l,
-                     t_labels=tl, t_masks=tm, inst_ids=inst_ids,
-                     scene=item["scene"])
-            )
+        if b > 1:
+            # Per-item voxelization in threads (the native voxelizer and
+            # numpy release the GIL); the reference uses 32 DataLoader
+            # worker processes instead (`conf/data/indoor.yaml:20`).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(b, 16)) as ex:
+                per_item = list(ex.map(self._prepare_item, batch))
+        else:
+            per_item = [self._prepare_item(batch[0])]
 
         n_cap = bucket_size(
             max(len(it["coords"]) for it in per_item),

@@ -240,24 +240,37 @@ class InstanceSegmentationTrainer:
                 loss_acc.setdefault(f"{prefix}_{k}", []).append(float(v))
 
             counts = np.asarray(host.device.counts)
-            preds, targets = [], []
+
+            def _post(b):
+                n = counts[b]
+                return postprocess_item(
+                    pred_class[b],
+                    pred_masks[b, :n],
+                    host.raw_coords[b, :n],
+                    host.scenes[b],
+                    use_dbscan=cfg.general.use_dbscan,
+                    dbscan_eps=cfg.general.dbscan_eps,
+                    dbscan_min_points=cfg.general.dbscan_min_points,
+                    filter_out_instances=cfg.general.filter_out_instances,
+                    scores_threshold=cfg.general.scores_threshold,
+                    iou_threshold=cfg.general.iou_threshold,
+                    topk_per_image=cfg.general.topk_per_image,
+                )
+
+            # Per-item post-processing in a thread pool (the reference uses
+            # a spawn multiprocessing pool for DBSCAN, trainer.py:447-455;
+            # sklearn's DBSCAN releases the GIL in its C core).
+            n_items = len(host.scenes)
+            if n_items > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=min(n_items, 8)) as ex:
+                    preds = list(ex.map(_post, range(n_items)))
+            else:
+                preds = [_post(0)]
+            targets = []
             for b in range(len(host.scenes)):
                 n = counts[b]
-                preds.append(
-                    postprocess_item(
-                        pred_class[b],
-                        pred_masks[b, :n],
-                        host.raw_coords[b, :n],
-                        host.scenes[b],
-                        use_dbscan=cfg.general.use_dbscan,
-                        dbscan_eps=cfg.general.dbscan_eps,
-                        dbscan_min_points=cfg.general.dbscan_min_points,
-                        filter_out_instances=cfg.general.filter_out_instances,
-                        scores_threshold=cfg.general.scores_threshold,
-                        iou_threshold=cfg.general.iou_threshold,
-                        topk_per_image=cfg.general.topk_per_image,
-                    )
-                )
                 tv = np.asarray(host.device.target.valid[b])
                 targets.append(
                     {
