@@ -11,3 +11,9 @@ from mask3d_tpu.baseline.roomformer_bridge import (  # noqa: F401
     points_to_density_map,
     polygons_to_mask3d_prediction,
 )
+from mask3d_tpu.baseline.roomformer import (  # noqa: F401
+    RoomFormer,
+    RoomFormerOutput,
+)
+from mask3d_tpu.baseline.criterion2d import RoomFormerCriterion  # noqa: F401
+from mask3d_tpu.baseline.floorplan_eval import FloorplanEvaluator  # noqa: F401
