@@ -101,3 +101,36 @@ def plot_gradient_flow(grads, path: str = "gradflow.png"):
     fig.savefig(path, dpi=120)
     plt.close(fig)
     return path
+
+
+def plot_floorplan(room_polys, gt_polys=None, path: str = "floorplan.png",
+                   image_size: int = 256):
+    """Floorplan polygon plot (reference `RoomFormer/util/plot_utils.py` and
+    `datasets_preprocess/.../visualize_floorplan.py` capability)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Polygon as MplPolygon
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    for polys, color, label in (
+        (gt_polys or [], "tab:green", "gt"),
+        (room_polys, "tab:blue", "pred"),
+    ):
+        for i, p in enumerate(polys):
+            ax.add_patch(
+                MplPolygon(
+                    np.asarray(p).reshape(-1, 2), closed=True, fill=False,
+                    edgecolor=color, linewidth=1.5,
+                    label=label if i == 0 else None,
+                )
+            )
+    ax.set_xlim(0, image_size)
+    ax.set_ylim(image_size, 0)
+    ax.set_aspect("equal")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
