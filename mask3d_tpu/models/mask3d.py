@@ -377,6 +377,7 @@ class Mask3D(nn.Module):
 
         predictions_class = []
         predictions_masks = []
+        src_cache = {}
         for dec in range(self.num_decoders):
             d = 0 if self.shared_decoder else dec
             for li, hlevel in enumerate(self.hlevels):
@@ -396,9 +397,22 @@ class Mask3D(nn.Module):
                 else:
                     S = min(cap, int(self.sample_sizes[hlevel]))
                 if S == cap:
-                    sample_idx = jnp.tile(
-                        jnp.arange(cap, dtype=jnp.int32)[None], (B, 1)
-                    )
+                    # Full (padded) level: no gather needed, and with shared
+                    # decoder weights the squeezed memory is identical across
+                    # decoder rounds — compute it once per level (hoisted;
+                    # the reference recomputes it every iteration,
+                    # mask3d.py:467).
+                    pos_in_sample = jnp.arange(S, dtype=jnp.int32)[None]
+                    pad = pos_in_sample >= level.count[:, None]
+                    attn_s = attn_bool  # [B, S, Q]
+                    pe_s = pe_pyr[lvl]
+                    key_src = (d, li)
+                    if key_src not in src_cache:
+                        src_full = squeeze[d][li](feats_l)
+                        if self.use_level_embed:
+                            src_full = src_full + level_embed[li]
+                        src_cache[key_src] = src_full
+                    src = src_cache[key_src]
                 else:
                     r = jax.random.uniform(
                         self.make_rng("sample"), (B, cap)
@@ -407,18 +421,22 @@ class Mask3D(nn.Module):
                     sample_idx = jnp.argsort(r, axis=-1)[:, :S].astype(
                         jnp.int32
                     )
-                pos_in_sample = jnp.arange(S, dtype=jnp.int32)[None]
-                pad = pos_in_sample >= jnp.minimum(level.count, S)[:, None]
-
-                kv = jnp.take_along_axis(
-                    feats_l, sample_idx[..., None], axis=1
-                )
-                pe_s = jnp.take_along_axis(
-                    pe_pyr[lvl], sample_idx[..., None], axis=1
-                )
-                attn_s = jnp.take_along_axis(
-                    attn_bool, sample_idx[..., None], axis=1
-                )  # [B, S, Q]
+                    pos_in_sample = jnp.arange(S, dtype=jnp.int32)[None]
+                    pad = pos_in_sample >= jnp.minimum(
+                        level.count, S
+                    )[:, None]
+                    kv = jnp.take_along_axis(
+                        feats_l, sample_idx[..., None], axis=1
+                    )
+                    pe_s = jnp.take_along_axis(
+                        pe_pyr[lvl], sample_idx[..., None], axis=1
+                    )
+                    attn_s = jnp.take_along_axis(
+                        attn_bool, sample_idx[..., None], axis=1
+                    )  # [B, S, Q]
+                    src = squeeze[d][li](kv)
+                    if self.use_level_embed:
+                        src = src + level_embed[li]
 
                 # Un-mask queries whose mask blocks every sampled point
                 # (reference mask3d.py:456).
@@ -426,10 +444,6 @@ class Mask3D(nn.Module):
                 attn_s = jnp.where(all_blocked[:, None, :], False, attn_s)
                 attn_s = attn_s | pad[..., None]
                 mem_mask = jnp.transpose(attn_s, (0, 2, 1))  # [B, Q, S]
-
-                src = squeeze[d][li](kv)
-                if self.use_level_embed:
-                    src = src + level_embed[li]
 
                 queries = cross[d][li](
                     queries, src, mem_mask, pe_s, query_pos,
