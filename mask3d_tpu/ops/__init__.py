@@ -8,7 +8,15 @@ dependencies (SURVEY.md §2.2 N2/N5/N6):
              `scipy.optimize.linear_sum_assignment`, `mask3d/models/matcher.py:170`)
 - `dbscan` — host-side density clustering (replaces sklearn DBSCAN,
              `mask3d/trainer/trainer.py:75`)
+- `segment` — segment mean/max/min (replaces torch-scatter,
+             `mask3d/models/mask3d.py:138-143`)
 """
 
 from mask3d_tpu.ops.fps import furthest_point_sample  # noqa: F401
 from mask3d_tpu.ops.lsap import linear_sum_assignment  # noqa: F401
+from mask3d_tpu.ops.segment import (  # noqa: F401
+    batched_segment_reduce,
+    segment_max,
+    segment_mean,
+    segment_min,
+)
