@@ -114,6 +114,9 @@ class ModelConfig:
     bn_momentum: float = 0.02
     # TPU-specific: bf16 compute in the backbone matmuls
     compute_dtype: Optional[str] = None
+    # TPU-specific: sequence-parallel mesh axis for the point/grid-x axis
+    # (scenes too large for one chip; see mask3d_tpu/parallel/mesh.py)
+    sp_axis: Optional[str] = None
 
 
 @dataclass

@@ -97,41 +97,62 @@ class _GatherCtx:
 
 
 class _DenseCtx:
-    """Dense-grid execution: rows live as [B, Gx, Gy, Gz, C] per level."""
+    """Dense-grid execution: rows live as [B, Gx, Gy, Gz, C] per level.
 
-    def __init__(self, sb: SparseBatch, grid_dims, compute_dtype):
+    With `sp_axis` set (sequence parallelism), every grid is constrained to
+    shard its x axis and every row tensor its point axis over that mesh
+    axis; row keys are x-major sorted so the two shardings are aligned
+    x-slabs and XLA's partitioner inserts conv halo exchanges
+    (`mask3d_tpu/parallel/mesh.py`).
+    """
+
+    def __init__(self, sb: SparseBatch, grid_dims, compute_dtype,
+                 sp_axis=None):
+        from mask3d_tpu.parallel.mesh import maybe_constrain, sp_min_per_shard
+
         self.sb = sb
         self.dt = compute_dtype
         self.grid_dims = list(grid_dims)  # per level
+        # Per-level: shard the grid-x axis only while the per-shard extent
+        # stays >= 2 (XLA SPMD miscompile guard, see parallel/mesh.py);
+        # smaller coarse grids stay spatially replicated (they are tiny).
+        self._cl = [
+            (lambda x, _ok=sp_min_per_shard(int(self.grid_dims[li][0]),
+                                            sp_axis):
+             maybe_constrain(x, sp_axis, shard_seq=_ok))
+            for li in range(len(sb.levels))
+        ]
         self.occ = [
-            dense_ops.occupancy(sb.levels[li], self.grid_dims[li])
+            self._cl[li](
+                dense_ops.occupancy(sb.levels[li], self.grid_dims[li])
+            )
             for li in range(len(sb.levels))
         ]
 
     def scatter(self, feats_rows, level_idx):
-        return dense_ops.scatter_rows(
+        return self._cl[level_idx](dense_ops.scatter_rows(
             feats_rows, self.sb.levels[level_idx], self.grid_dims[level_idx]
-        )
+        ))
 
     def conv_in(self, x, w, b):
-        return dense_ops.dense_conv_same(
+        return self._cl[0](dense_ops.dense_conv_same(
             x, w, self.occ[0], bias=b, compute_dtype=self.dt
-        )
+        ))
 
     def conv3(self, x, w, level_idx, b=None):
-        return dense_ops.dense_conv_same(
+        return self._cl[level_idx](dense_ops.dense_conv_same(
             x, w, self.occ[level_idx], bias=b, compute_dtype=self.dt
-        )
+        ))
 
     def conv_down(self, x, w, fine_idx):
-        return dense_ops.dense_conv_down(
+        return self._cl[fine_idx + 1](dense_ops.dense_conv_down(
             x, w, self.occ[fine_idx + 1], compute_dtype=self.dt
-        )
+        ))
 
     def conv_tr(self, x, w, coarse_idx):
-        return dense_ops.dense_conv_tr(
+        return self._cl[coarse_idx - 1](dense_ops.dense_conv_tr(
             x, w, self.occ[coarse_idx - 1], compute_dtype=self.dt
-        )
+        ))
 
     def norm(self, x, gamma, beta, level_idx):
         return dense_ops.dense_instance_norm(
@@ -159,6 +180,7 @@ class Res16UNetBase(nn.Module):
     conv1_kernel_size: int = 5
     compute_dtype: Optional[Dtype] = None
     impl: str = "gather"  # "gather" | "dense"
+    sp_axis: Optional[str] = None  # sequence-parallel mesh axis (dense impl)
     PLANES: Sequence[int] = (32, 64, 128, 256, 256, 256, 256, 256)
     LAYERS: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2)
     INIT_DIM: int = 32
@@ -218,7 +240,8 @@ class Res16UNetBase(nn.Module):
 
         if self.impl == "dense":
             assert grid_dims is not None, "dense impl needs static grid dims"
-            ctx = _DenseCtx(sb, grid_dims, self.compute_dtype)
+            ctx = _DenseCtx(sb, grid_dims, self.compute_dtype,
+                            sp_axis=self.sp_axis)
             x = ctx.scatter(feats, 0)
         else:
             ctx = _GatherCtx(sb, self.compute_dtype)

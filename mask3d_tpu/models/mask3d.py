@@ -202,6 +202,9 @@ class Mask3D(nn.Module):
     in_channels: int = 1
     conv1_kernel_size: int = 5
     compute_dtype: Optional[Any] = None
+    # Sequence parallelism: mesh axis to shard the point/grid-x axis over
+    # (see mask3d_tpu/parallel/mesh.py). Queries stay replicated.
+    sp_axis: Optional[str] = None
 
     def _pos_enc(self, xyz, mins, maxs, gauss_b):
         if self.positional_encoding_type == "fourier":
@@ -226,14 +229,20 @@ class Mask3D(nn.Module):
         Q = self.num_queries
         n_levels = sb.num_levels  # 5
 
+        from mask3d_tpu.parallel.mesh import maybe_constrain
+
         backbone = BACKBONES[self.backbone_name](
             in_channels=self.in_channels,
             conv1_kernel_size=self.conv1_kernel_size,
             compute_dtype=self.compute_dtype,
             impl=self.backbone_impl,
+            sp_axis=self.sp_axis,
             name="backbone",
         )
         bb_out, feature_maps = backbone(feats, sb, grid_dims)
+        feature_maps = [
+            maybe_constrain(f, self.sp_axis) for f in feature_maps
+        ]
         # feature_maps: [s16, s8, s4, s2, s1]; sparse level of fm[i] = 4-i.
         fm_level = [n_levels - 1 - i for i in range(n_levels)]
 
@@ -265,6 +274,7 @@ class Mask3D(nn.Module):
         # --- Mask features head (reference mask3d.py:129-136,303) ---
         mask_feats = nn.Dense(D, name="mask_features_head")(bb_out)
         mask_feats = jnp.where(sb.levels[0].valid[..., None], mask_feats, 0)
+        mask_feats = maybe_constrain(mask_feats, self.sp_axis)
 
         # Pooled mask-feature pyramid: average pooling is linear, so
         # pool^k(F @ E^T) == (pool^k F) @ E^T — computing the pooled features
@@ -362,6 +372,7 @@ class Mask3D(nn.Module):
                 "bnd,bqd->bnq", mask_feats, mask_embed,
                 preferred_element_type=jnp.float32,
             )
+            out_masks = maybe_constrain(out_masks, self.sp_axis)
             if not ret_attn:
                 return out_class, out_masks, None
             pooled = jnp.einsum(

@@ -9,6 +9,8 @@ parameters are replicated, and XLA inserts the gradient `psum` collectives.
 
 from mask3d_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    make_mesh_2d,
+    maybe_constrain,
     replicate,
     shard_batch,
 )

@@ -67,6 +67,7 @@ def make_model(cfg: Config) -> Mask3D:
         in_channels=cfg.data.in_channels,
         conv1_kernel_size=cfg.model.conv1_kernel_size,
         compute_dtype=dt,
+        sp_axis=cfg.model.sp_axis,
     )
 
 
