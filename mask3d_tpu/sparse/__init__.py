@@ -27,6 +27,7 @@ from mask3d_tpu.sparse.core import (  # noqa: F401
     downsample_level,
     neighbor_map,
     pack_keys,
+    unpack_keys,
 )
 from mask3d_tpu.sparse.ops import (  # noqa: F401
     avg_pool,

@@ -63,6 +63,23 @@ def pack_keys(coords, dims):
     ] + coords[..., 2]
 
 
+def unpack_keys(keys, dims):
+    """Inverse of `pack_keys`: i32[B, N] + dims i32[B, 3] -> i32[B, N, 3].
+
+    Lets the host ship ONE int32 per voxel (the sorted key) instead of three
+    coordinates and reconstruct coords on device — a 3x cut of the dominant
+    host->device transfer. Padding rows (key = INT32_MAX) decode to garbage;
+    consumers must mask by `count` (`build_base_level` does).
+    """
+    dy = dims[..., 1][..., None]
+    dz = dims[..., 2][..., None]
+    z = keys % dz
+    r = keys // dz
+    y = r % dy
+    x = r // dy
+    return jnp.stack([x, y, z], axis=-1)
+
+
 class SparseLevel(struct.PyTreeNode):
     """One resolution level of a batched sparse voxel set.
 

@@ -263,3 +263,16 @@ def test_build_sparse_batch_with_grid_cells(rng):
     assert np.array_equal(
         np.asarray(sb_search.nbr0_idx)[ok], np.asarray(sb_table.nbr0_idx)[ok]
     )
+
+
+def test_unpack_keys_roundtrip(rng):
+    from mask3d_tpu.sparse import pack_keys, unpack_keys
+
+    level, _ = make_batch(rng, num_items=3, dims=(9, 8, 7))
+    keys = np.asarray(level.key)
+    dims = np.asarray(level.dims)
+    coords = np.asarray(unpack_keys(jnp.asarray(keys), jnp.asarray(dims)))
+    valid = np.asarray(level.valid)
+    np.testing.assert_array_equal(
+        coords[valid], np.asarray(level.coords)[valid]
+    )
