@@ -1,0 +1,19 @@
+#!/bin/bash
+# TPU-native equivalent of the reference launch script of the same name
+# (reference: mask3d/experiment_launch_scripts/). Override grammar is
+# identical; the entry point is `python -m mask3d_tpu.cli`.
+EXPERIMENT_NAME="experiment6_finetune_s3dis_train"
+echo "Running $EXPERIMENT_NAME EVAL (train split)"
+
+python -m mask3d_tpu.cli test \
+    general.experiment_name="$EXPERIMENT_NAME" \
+    'data.dataset=s3dis' \
+    'model.num_queries=100' \
+    'data.test_dataset_mode=train' \
+    'general.checkpoint=saved/experiment6_finetune_s3dis_train/run1/best_val_mean_ap.ckpt' \
+    'data.rasterization_factor=150' \
+    'general.filter_out_instances=true' \
+    'general.use_dbscan=false' \
+    'general.debug_best_worst_scenes=true' \
+    'data.test_batch_size=1' \
+    "$@"

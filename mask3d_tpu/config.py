@@ -66,6 +66,9 @@ class DataConfig:
     num_labels: int = 1
     batch_size: int = 16
     test_batch_size: int = -1  # -1 -> batch_size
+    # Which split `test` evaluates: test | train | validation | trainval
+    # (reference `data.test_dataset.mode`, experiment5/6 split-eval scripts)
+    test_dataset_mode: str = "test"
     num_workers: int = 8
     rasterization_factor: int = 150
     prediction_label_offset: int = 1

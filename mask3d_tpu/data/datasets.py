@@ -87,7 +87,13 @@ class Structured3DSegmentationDataset:
         raise ValueError(f"Unknown scene number {num}")
 
     def get_filenames(self) -> List[str]:
-        scenes = [s for s in self.get_scenes() if self.split_of(s) == self.mode]
+        # "trainval" evaluates on train+validation together (reference
+        # `data.test_dataset.mode=trainval`, experiment5 trainval scripts).
+        wanted = (
+            ("train", "validation") if self.mode == "trainval"
+            else (self.mode,)
+        )
+        scenes = [s for s in self.get_scenes() if self.split_of(s) in wanted]
         assert scenes, "Empty dataset."
         if self.data_fraction is not None and self.data_fraction < 1.0:
             scenes = random.sample(
@@ -188,6 +194,9 @@ class S3DISSegmentationDataset(Structured3DSegmentationDataset):
         "train": ["area_1", "area_2", "area_3", "area_4", "area_6"],
         "validation": ["area_5"],
         "test": ["area_5"],
+        "trainval": [
+            "area_1", "area_2", "area_3", "area_4", "area_6", "area_5",
+        ],
     }
 
     def __init__(self, *args, filter_out_instance_ids: Sequence[int] = (),

@@ -89,6 +89,14 @@ class _GatherCtx:
             feats, self.sb.levels[level_idx].valid, gamma, beta
         )
 
+    def conv1x1(self, feats, w, level_idx):
+        x = feats
+        if self.dt is not None:
+            x = x.astype(self.dt)
+        return jnp.dot(
+            x, w[0].astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+
     def cat(self, a, b):
         return jnp.concatenate([a, b], axis=-1)
 
@@ -159,6 +167,11 @@ class _DenseCtx:
             x, self.occ[level_idx], gamma, beta
         )
 
+    def conv1x1(self, x, w, level_idx):
+        return self._cl[level_idx](dense_ops.dense_conv_same(
+            x, w, self.occ[level_idx], compute_dtype=self.dt
+        ))
+
     def cat(self, a, b):
         return jnp.concatenate([a, b], axis=-1)
 
@@ -184,6 +197,8 @@ class Res16UNetBase(nn.Module):
     PLANES: Sequence[int] = (32, 64, 128, 256, 256, 256, 256, 256)
     LAYERS: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2)
     INIT_DIM: int = 32
+    BLOCK: str = "basic"  # "basic" | "bottleneck"
+    EXPANSION: int = 1  # 4 for bottleneck variants
 
     def _kernel(self, name, k, cin, cout):
         return self.param(name + "_kernel", _KERNEL_INIT, (k, cin, cout))
@@ -208,26 +223,42 @@ class Res16UNetBase(nn.Module):
         if cin != planes:
             wd = self._kernel(f"{name}_downsample", 1, cin, planes)
             gd, bd = self._norm_params(f"{name}_downsample_norm", planes)
-            if self.impl == "dense":
-                residual = dense_ops.dense_conv_same(
-                    residual, wd, ctx.occ[level_idx], compute_dtype=ctx.dt
-                )
-            else:
-                r = residual
-                if ctx.dt is not None:
-                    r = r.astype(ctx.dt)
-                residual = jnp.dot(
-                    r, wd[0].astype(r.dtype),
-                    preferred_element_type=jnp.float32,
-                ).astype(r.dtype)
+            residual = ctx.conv1x1(residual, wd, level_idx)
+            residual = ctx.norm(residual, gd, bd, level_idx)
+        return nn.relu(out + residual)
+
+    def _block_bottleneck(self, ctx, name, x, level_idx, cin, planes):
+        """Bottleneck block (`mask3d/models/modules/resnet_block.py:83-146`):
+        1x1 reduce -> 3^3 conv -> 1x1 expand (x4), InstanceNorm."""
+        e = self.EXPANSION
+        residual = x
+        w1 = self._kernel(f"{name}_conv1", 1, cin, planes)
+        g1, b1 = self._norm_params(f"{name}_norm1", planes)
+        out = nn.relu(ctx.norm(ctx.conv1x1(x, w1, level_idx), g1, b1,
+                               level_idx))
+        w2 = self._kernel(f"{name}_conv2", 27, planes, planes)
+        g2, b2 = self._norm_params(f"{name}_norm2", planes)
+        out = nn.relu(ctx.norm(ctx.conv3(out, w2, level_idx), g2, b2,
+                               level_idx))
+        w3 = self._kernel(f"{name}_conv3", 1, planes, planes * e)
+        g3, b3 = self._norm_params(f"{name}_norm3", planes * e)
+        out = ctx.norm(ctx.conv1x1(out, w3, level_idx), g3, b3, level_idx)
+        if cin != planes * e:
+            wd = self._kernel(f"{name}_downsample", 1, cin, planes * e)
+            gd, bd = self._norm_params(f"{name}_downsample_norm", planes * e)
+            residual = ctx.conv1x1(residual, wd, level_idx)
             residual = ctx.norm(residual, gd, bd, level_idx)
         return nn.relu(out + residual)
 
     def _blocks(self, ctx, stage, x, level_idx, cin, planes, n):
+        block = (
+            self._block_bottleneck if self.BLOCK == "bottleneck"
+            else self._block
+        )
         for i in range(n):
-            x = self._block(
+            x = block(
                 ctx, f"block{stage}_{i}", x, level_idx,
-                cin if i == 0 else planes, planes,
+                cin if i == 0 else planes * self.EXPANSION, planes,
             )
         return x
 
@@ -259,17 +290,18 @@ class Res16UNetBase(nn.Module):
             out = ctx.conv_down(x_in, w, fine_idx)
             return nn.relu(ctx.norm(out, g, b, fine_idx + 1))
 
+        e = self.EXPANSION
         out = down("conv1p1s2", out_p1, 0, self.INIT_DIM, self.INIT_DIM)
         out_b1p2 = self._blocks(ctx, 1, out, 1, self.INIT_DIM, p[0], lay[0])
 
-        out = down("conv2p2s2", out_b1p2, 1, p[0], p[0])
-        out_b2p4 = self._blocks(ctx, 2, out, 2, p[0], p[1], lay[1])
+        out = down("conv2p2s2", out_b1p2, 1, p[0] * e, p[0] * e)
+        out_b2p4 = self._blocks(ctx, 2, out, 2, p[0] * e, p[1], lay[1])
 
-        out = down("conv3p4s2", out_b2p4, 2, p[1], p[1])
-        out_b3p8 = self._blocks(ctx, 3, out, 3, p[1], p[2], lay[2])
+        out = down("conv3p4s2", out_b2p4, 2, p[1] * e, p[1] * e)
+        out_b3p8 = self._blocks(ctx, 3, out, 3, p[1] * e, p[2], lay[2])
 
-        out = down("conv4p8s2", out_b3p8, 3, p[2], p[2])
-        out = self._blocks(ctx, 4, out, 4, p[2], p[3], lay[3])
+        out = down("conv4p8s2", out_b3p8, 3, p[2] * e, p[2] * e)
+        out = self._blocks(ctx, 4, out, 4, p[2] * e, p[3], lay[3])
 
         feature_maps = [ctx.rows(out, 4)]  # stride 16
 
@@ -280,22 +312,22 @@ class Res16UNetBase(nn.Module):
             out = ctx.conv_tr(x_in, w, coarse_idx)
             return nn.relu(ctx.norm(out, g, b, coarse_idx - 1))
 
-        out = up("convtr4p16s2", out, 4, p[3], p[4])
+        out = up("convtr4p16s2", out, 4, p[3] * e, p[4])
         out = ctx.cat(out, out_b3p8)
-        out = self._blocks(ctx, 5, out, 3, p[4] + p[2], p[4], lay[4])
+        out = self._blocks(ctx, 5, out, 3, p[4] + p[2] * e, p[4], lay[4])
         feature_maps.append(ctx.rows(out, 3))  # stride 8
 
-        out = up("convtr5p8s2", out, 3, p[4], p[5])
+        out = up("convtr5p8s2", out, 3, p[4] * e, p[5])
         out = ctx.cat(out, out_b2p4)
-        out = self._blocks(ctx, 6, out, 2, p[5] + p[1], p[5], lay[5])
+        out = self._blocks(ctx, 6, out, 2, p[5] + p[1] * e, p[5], lay[5])
         feature_maps.append(ctx.rows(out, 2))  # stride 4
 
-        out = up("convtr6p4s2", out, 2, p[5], p[6])
+        out = up("convtr6p4s2", out, 2, p[5] * e, p[6])
         out = ctx.cat(out, out_b1p2)
-        out = self._blocks(ctx, 7, out, 1, p[6] + p[0], p[6], lay[6])
+        out = self._blocks(ctx, 7, out, 1, p[6] + p[0] * e, p[6], lay[6])
         feature_maps.append(ctx.rows(out, 1))  # stride 2
 
-        out = up("convtr7p2s2", out, 1, p[6], p[7])
+        out = up("convtr7p2s2", out, 1, p[6] * e, p[7])
         out = ctx.cat(out, out_p1)
         out = self._blocks(ctx, 8, out, 0, p[7] + self.INIT_DIM, p[7], lay[7])
         out_rows = ctx.rows(out, 0)
@@ -346,15 +378,71 @@ class Res16UNet18B(Res16UNet18):
     PLANES: Sequence[int] = (32, 64, 128, 256, 128, 128, 128, 128)
 
 
+class Res16UNet18D(Res16UNet18):
+    PLANES: Sequence[int] = (32, 64, 128, 256, 384, 384, 384, 384)
+
+
+class Res16UNet14A2(Res16UNet14A):
+    LAYERS: Sequence[int] = (1, 1, 1, 1, 2, 2, 2, 2)
+
+
+class Res16UNet14B(Res16UNet14):
+    PLANES: Sequence[int] = (32, 64, 128, 256, 128, 128, 128, 128)
+
+
+class Res16UNet14B2(Res16UNet14B):
+    LAYERS: Sequence[int] = (1, 1, 1, 1, 2, 2, 2, 2)
+
+
+class Res16UNet14B3(Res16UNet14B):
+    LAYERS: Sequence[int] = (2, 2, 2, 2, 1, 1, 1, 1)
+
+
+class Res16UNet14C(Res16UNet14):
+    PLANES: Sequence[int] = (32, 64, 128, 256, 192, 192, 128, 128)
+
+
+class Res16UNet14D(Res16UNet14):
+    PLANES: Sequence[int] = (32, 64, 128, 256, 384, 384, 384, 384)
+
+
+class Custom30M(Res16UNet34):
+    """`mask3d/models/res16unet.py:394-396`."""
+
+    PLANES: Sequence[int] = (32, 64, 128, 256, 128, 64, 64, 32)
+
+
+class Res16UNet50(Res16UNetBase):
+    """Bottleneck variant (`mask3d/models/res16unet.py:332-335`)."""
+
+    LAYERS: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
+    BLOCK: str = "bottleneck"
+    EXPANSION: int = 4
+
+
+class Res16UNet101(Res16UNet50):
+    LAYERS: Sequence[int] = (2, 3, 4, 23, 2, 2, 2, 2)
+
+
 BACKBONES = {
     "Res16UNet14": Res16UNet14,
     "Res16UNet14A": Res16UNet14A,
+    "Res16UNet14A2": Res16UNet14A2,
+    "Res16UNet14B": Res16UNet14B,
+    "Res16UNet14B2": Res16UNet14B2,
+    "Res16UNet14B3": Res16UNet14B3,
+    "Res16UNet14C": Res16UNet14C,
+    "Res16UNet14D": Res16UNet14D,
     "Res16UNet18": Res16UNet18,
     "Res16UNet18A": Res16UNet18A,
     "Res16UNet18B": Res16UNet18B,
+    "Res16UNet18D": Res16UNet18D,
     "Res16UNet34": Res16UNet34,
     "Res16UNet34A": Res16UNet34A,
     "Res16UNet34B": Res16UNet34B,
     "Res16UNet34C": Res16UNet34C,
     "Res16UNet34D": Res16UNet34D,
+    "Res16UNet50": Res16UNet50,
+    "Res16UNet101": Res16UNet101,
+    "Custom30M": Custom30M,
 }

@@ -107,7 +107,7 @@ class InstanceSegmentationTrainer:
                     **common,
                 ),
                 "validation": ds_cls(mode="validation", **common),
-                "test": ds_cls(mode="test", **common),
+                "test": ds_cls(mode=cfg.data.test_dataset_mode, **common),
             }
 
         self.collate = VoxelizeCollate(

@@ -165,3 +165,58 @@ def test_parametric_and_random_queries(scene):
             },
         )
         assert np.isfinite(np.asarray(out.pred_masks)).all()
+
+
+def test_bottleneck_backbone_and_registry(scene):
+    """Res16UNet50 (Bottleneck, expansion 4) runs in both impls and the
+    full registry mirrors the reference family
+    (`mask3d/models/res16unet.py:317-399`)."""
+    from mask3d_tpu.models.backbone import BACKBONES, Res16UNet50
+
+    for name in (
+        "Res16UNet14A2", "Res16UNet14B", "Res16UNet14C", "Res16UNet14D",
+        "Res16UNet18D", "Res16UNet50", "Res16UNet101", "Custom30M",
+    ):
+        assert name in BACKBONES
+
+    sb, feats, _ = scene
+    model = Res16UNet50(in_channels=1, conv1_kernel_size=3)
+    params = model.init(jax.random.PRNGKey(0), feats, sb)
+    out, fmaps = model.apply(params, feats, sb)
+    # PLANES[7] * expansion 4
+    assert out.shape == (2, 256, 256 * 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bottleneck_dense_matches_gather():
+    """Bottleneck path parity: dense-grid execution == gather execution."""
+    from mask3d_tpu.models.backbone import Res16UNet50
+
+    from typing import Sequence
+
+    class ShallowBottleneck(Res16UNet50):
+        LAYERS: Sequence[int] = (1, 1, 1, 1, 1, 1, 1, 1)
+
+    rng = np.random.default_rng(3)
+    coords, counts, dims = make_scene_batch(rng, dims=(16, 16, 16))
+    grid_dims = tuple((16 >> s, 16 >> s, 16 >> s) for s in range(5))
+    cells = tuple(int(np.prod(d)) for d in grid_dims)
+    caps = [128, 64, 32, 16]
+    feats = jnp.ones((coords.shape[0], coords.shape[1], 1), jnp.float32)
+
+    sb_g = build_sparse_batch(coords, counts, dims, caps,
+                              conv1_kernel_size=3, grid_cells=cells)
+    m_g = ShallowBottleneck(in_channels=1, conv1_kernel_size=3, impl="gather")
+    params = m_g.init(jax.random.PRNGKey(0), feats, sb_g)
+    out_g, fm_g = m_g.apply(params, feats, sb_g)
+
+    sb_d = build_sparse_batch(coords, counts, dims, caps,
+                              conv1_kernel_size=None,
+                              build_block_maps=False, grid_cells=cells)
+    m_d = ShallowBottleneck(in_channels=1, conv1_kernel_size=3, impl="dense")
+    out_d, fm_d = m_d.apply(params, feats, sb_d, grid_dims)
+
+    v = np.asarray(sb_g.levels[0].valid)
+    np.testing.assert_allclose(
+        np.asarray(out_d)[v], np.asarray(out_g)[v], rtol=2e-3, atol=2e-3
+    )
