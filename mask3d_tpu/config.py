@@ -111,7 +111,8 @@ class ModelConfig:
     scatter_type: str = "mean"
     backbone: str = "Res16UNet34C"
     # "dense": dense-grid conv execution (TPU fast path); "gather": kernel-map
-    # gather-matmul (general fallback)
+    # gather-matmul (general fallback); "gather_pallas": gather path with the
+    # windowed Pallas conv kernel (large scenes whose grid won't fit densely)
     backbone_impl: str = "dense"
     conv1_kernel_size: int = 5
     bn_momentum: float = 0.02

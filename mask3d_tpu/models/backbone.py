@@ -36,7 +36,7 @@ from typing import Any, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mask3d_tpu.sparse import dense_ops
+from mask3d_tpu.sparse import dense_ops, pallas_conv
 from mask3d_tpu.sparse.context import SparseBatch
 from mask3d_tpu.sparse.ops import (
     instance_norm,
@@ -51,25 +51,37 @@ _KERNEL_INIT = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
 class _GatherCtx:
-    """Row-form execution over kernel maps (one instance per forward)."""
+    """Row-form execution over kernel maps (one instance per forward).
 
-    def __init__(self, sb: SparseBatch, compute_dtype):
+    With `use_pallas`, same-stride convolutions over eligible levels run the
+    windowed Pallas kernel (`mask3d_tpu/sparse/pallas_conv.py`) instead of
+    XLA row gathers; ineligible levels (capacity not tile-aligned or smaller
+    than the window) keep the XLA formulation.
+    """
+
+    def __init__(self, sb: SparseBatch, compute_dtype, use_pallas=False):
         self.sb = sb
         self.dt = compute_dtype
+        self.use_pallas = use_pallas
 
     def to_level(self, feats, level_idx):
         return feats  # rows are already per-level
 
+    def _conv(self, feats, w, idx, ok, b):
+        if self.use_pallas and pallas_conv.supports(feats.shape[1]):
+            out = pallas_conv.sparse_conv_pallas(feats, w, idx, ok)
+            if b is not None:
+                out = out + b
+            return out.astype(feats.dtype)
+        return sparse_conv(feats, w, idx, ok, bias=b, compute_dtype=self.dt)
+
     def conv_in(self, feats, w, b):
-        return sparse_conv(
-            feats, w, self.sb.nbr0_idx, self.sb.nbr0_ok, bias=b,
-            compute_dtype=self.dt,
-        )
+        return self._conv(feats, w, self.sb.nbr0_idx, self.sb.nbr0_ok, b)
 
     def conv3(self, feats, w, level_idx, b=None):
-        return sparse_conv(
+        return self._conv(
             feats, w, self.sb.nbr_idx[level_idx], self.sb.nbr_ok[level_idx],
-            bias=b, compute_dtype=self.dt,
+            b,
         )
 
     def conv_down(self, feats, w, fine_idx):
@@ -102,6 +114,15 @@ class _GatherCtx:
 
     def rows(self, feats, level_idx):
         return feats
+
+    def global_mean(self, feats, level_idx):
+        """Per-item mean over valid rows -> [B, 1, C] (ME GlobalPooling)."""
+        valid = self.sb.levels[level_idx].valid[..., None]
+        s = jnp.sum(jnp.where(valid, feats, 0), axis=1, keepdims=True)
+        cnt = jnp.maximum(
+            jnp.sum(valid.astype(feats.dtype), axis=1, keepdims=True), 1
+        )
+        return s / cnt
 
 
 class _DenseCtx:
@@ -180,6 +201,15 @@ class _DenseCtx:
             x, self.sb.levels[level_idx], self.grid_dims[level_idx]
         )
 
+    def global_mean(self, x, level_idx):
+        """Per-item mean over occupied cells -> [B, 1, 1, 1, C]."""
+        occ = self.occ[level_idx]
+        s = jnp.sum(x * occ, axis=(1, 2, 3), keepdims=True)
+        cnt = jnp.maximum(
+            jnp.sum(occ.astype(x.dtype), axis=(1, 2, 3), keepdims=True), 1
+        )
+        return s / cnt
+
 
 class Res16UNetBase(nn.Module):
     """Res16UNet encoder/decoder over a 5-level sparse pyramid.
@@ -192,13 +222,15 @@ class Res16UNetBase(nn.Module):
     in_channels: int = 1
     conv1_kernel_size: int = 5
     compute_dtype: Optional[Dtype] = None
-    impl: str = "gather"  # "gather" | "dense"
+    impl: str = "gather"  # "gather" | "gather_pallas" | "dense"
     sp_axis: Optional[str] = None  # sequence-parallel mesh axis (dense impl)
     PLANES: Sequence[int] = (32, 64, 128, 256, 256, 256, 256, 256)
     LAYERS: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2)
     INIT_DIM: int = 32
     BLOCK: str = "basic"  # "basic" | "bottleneck"
     EXPANSION: int = 1  # 4 for bottleneck variants
+    SE: bool = False  # squeeze-excitation blocks (senet_block.py:8-141)
+    SE_REDUCTION: int = 16
 
     def _kernel(self, name, k, cin, cout):
         return self.param(name + "_kernel", _KERNEL_INIT, (k, cin, cout))
@@ -208,6 +240,20 @@ class Res16UNetBase(nn.Module):
             self.param(name + "_scale", nn.initializers.ones, (c,)),
             self.param(name + "_bias", nn.initializers.zeros, (c,)),
         )
+
+    def _se(self, ctx, name, x, level_idx, c):
+        """SELayer (`mask3d/models/modules/senet_block.py:8-24`): global
+        pool -> bottleneck MLP -> sigmoid -> broadcast multiply (zeros at
+        padding/unoccupied cells are preserved by the multiply)."""
+        r = max(c // self.SE_REDUCTION, 1)
+        w1 = self.param(f"{name}_se_fc1_kernel", _KERNEL_INIT, (c, r))
+        b1 = self.param(f"{name}_se_fc1_bias", nn.initializers.zeros, (r,))
+        w2 = self.param(f"{name}_se_fc2_kernel", _KERNEL_INIT, (r, c))
+        b2 = self.param(f"{name}_se_fc2_bias", nn.initializers.zeros, (c,))
+        y = ctx.global_mean(x, level_idx).astype(jnp.float32)
+        y = nn.relu(jnp.dot(y, w1) + b1)
+        y = nn.sigmoid(jnp.dot(y, w2) + b2)
+        return x * y.astype(x.dtype)
 
     def _block(self, ctx, name, x, level_idx, cin, planes):
         """BasicBlock (`mask3d/models/modules/resnet_block.py:7-68`)."""
@@ -220,6 +266,8 @@ class Res16UNetBase(nn.Module):
         g2, b2 = self._norm_params(f"{name}_norm2", planes)
         out = ctx.conv3(out, w2, level_idx)
         out = ctx.norm(out, g2, b2, level_idx)
+        if self.SE:
+            out = self._se(ctx, name, out, level_idx, planes)
         if cin != planes:
             wd = self._kernel(f"{name}_downsample", 1, cin, planes)
             gd, bd = self._norm_params(f"{name}_downsample_norm", planes)
@@ -243,6 +291,8 @@ class Res16UNetBase(nn.Module):
         w3 = self._kernel(f"{name}_conv3", 1, planes, planes * e)
         g3, b3 = self._norm_params(f"{name}_norm3", planes * e)
         out = ctx.norm(ctx.conv1x1(out, w3, level_idx), g3, b3, level_idx)
+        if self.SE:
+            out = self._se(ctx, name, out, level_idx, planes * e)
         if cin != planes * e:
             wd = self._kernel(f"{name}_downsample", 1, cin, planes * e)
             gd, bd = self._norm_params(f"{name}_downsample_norm", planes * e)
@@ -275,7 +325,8 @@ class Res16UNetBase(nn.Module):
                             sp_axis=self.sp_axis)
             x = ctx.scatter(feats, 0)
         else:
-            ctx = _GatherCtx(sb, self.compute_dtype)
+            ctx = _GatherCtx(sb, self.compute_dtype,
+                             use_pallas=self.impl == "gather_pallas")
             x = feats
 
         # --- Encoder (reference res16unet.py:244-267) ---
