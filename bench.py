@@ -27,6 +27,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import queue
 import threading
 import time
@@ -50,6 +51,9 @@ def main(batch_size: int = 8):
 
     cfg = Config()  # full-size flagship (hidden 128, Q 25, Res16UNet34C)
     apply_overrides(cfg, ["data.point_bucket_multiple=65536"])
+    extra = os.environ.get("MASK3D_BENCH_OVERRIDES", "")
+    if extra:
+        apply_overrides(cfg, [s for s in extra.split(";") if s])
 
     # Scenes sized like Structured3D at rasterization 150mm (~40k voxels).
     rng = np.random.default_rng(0)

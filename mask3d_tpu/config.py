@@ -121,6 +121,9 @@ class ModelConfig:
     # TPU-specific: sequence-parallel mesh axis for the point/grid-x axis
     # (scenes too large for one chip; see mask3d_tpu/parallel/mesh.py)
     sp_axis: Optional[str] = None
+    # TPU-specific: recompute backbone activations in the backward pass
+    # (jax.checkpoint) — large-batch/large-grid training memory knob
+    remat_backbone: bool = False
 
 
 @dataclass

@@ -205,6 +205,8 @@ class Mask3D(nn.Module):
     # Sequence parallelism: mesh axis to shard the point/grid-x axis over
     # (see mask3d_tpu/parallel/mesh.py). Queries stay replicated.
     sp_axis: Optional[str] = None
+    # Activation checkpointing of the backbone (training-memory knob).
+    remat_backbone: bool = False
 
     def _pos_enc(self, xyz, mins, maxs, gauss_b):
         if self.positional_encoding_type == "fourier":
@@ -231,7 +233,15 @@ class Mask3D(nn.Module):
 
         from mask3d_tpu.parallel.mesh import maybe_constrain
 
-        backbone = BACKBONES[self.backbone_name](
+        backbone_cls = BACKBONES[self.backbone_name]
+        if self.remat_backbone:
+            # Activation checkpointing: recompute the backbone in the
+            # backward pass instead of keeping every dense-grid activation
+            # live (the TPU answer to the reference's per-step
+            # `torch.cuda.empty_cache()` OOM workaround, `trainer.py:304-308`
+            # — trades ~1/3 more FLOPs for O(depth) less HBM at batch 16).
+            backbone_cls = nn.remat(backbone_cls, static_argnums=(3,))
+        backbone = backbone_cls(
             in_channels=self.in_channels,
             conv1_kernel_size=self.conv1_kernel_size,
             compute_dtype=self.compute_dtype,

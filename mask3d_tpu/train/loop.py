@@ -68,6 +68,7 @@ def make_model(cfg: Config) -> Mask3D:
         conv1_kernel_size=cfg.model.conv1_kernel_size,
         compute_dtype=dt,
         sp_axis=cfg.model.sp_axis,
+        remat_backbone=cfg.model.remat_backbone,
     )
 
 

@@ -131,3 +131,43 @@ def test_tolerant_checkpoint_restore(data_root, tmp_path):
     b = jax.tree_util.tree_leaves(trainer2.state.params["backbone"])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_remat_backbone_matches_no_remat(data_root, tmp_path):
+    """`model.remat_backbone=true` (activation checkpointing) changes memory,
+    not math: one train step yields the same loss and updated params."""
+    import jax
+    import numpy as np
+
+    from mask3d_tpu.data import VoxelizeCollate, make_synthetic_scene
+    from mask3d_tpu.train.loop import init_state, make_train_step
+
+    rng = np.random.default_rng(0)
+    items = [
+        make_synthetic_scene(rng, num_rooms_x=2, num_rooms_y=1, room_size=10,
+                             height=5, jitter=0.0, dropout=0.5)
+        for _ in range(2)
+    ]
+    batch = VoxelizeCollate(point_bucket_multiple=512)(items).device
+
+    losses = {}
+    params = {}
+    for remat in (False, True):
+        cfg = small_cfg(data_root, str(tmp_path / f"saved_remat_{remat}"))
+        cfg.data.point_bucket_multiple = 512
+        cfg.model.remat_backbone = remat
+        state, model, criterion, tx = init_state(cfg, batch)
+        step = make_train_step(cfg, model, criterion, tx)
+        new_state, out = step(state, batch)
+        losses[remat] = float(out["loss"])
+        params[remat] = new_state.params
+
+    assert np.isfinite(losses[True])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params[True]),
+        jax.tree_util.tree_leaves(params[False]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
