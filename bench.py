@@ -50,7 +50,13 @@ def main(batch_size: int = 8):
     from mask3d_tpu.train.loop import _sb_kwargs, init_state, level_capacities
 
     cfg = Config()  # full-size flagship (hidden 128, Q 25, Res16UNet34C)
-    apply_overrides(cfg, ["data.point_bucket_multiple=65536"])
+    # bf16 backbone compute for inference: +17% measured on v5e, metric
+    # parity with fp32 eval verified through the evaluator oracle
+    # (tests/test_e2e.py::test_bf16_eval_metrics_match_fp32).
+    apply_overrides(cfg, [
+        "data.point_bucket_multiple=65536",
+        "model.compute_dtype=bfloat16",
+    ])
     extra = os.environ.get("MASK3D_BENCH_OVERRIDES", "")
     if extra:
         apply_overrides(cfg, [s for s in extra.split(";") if s])

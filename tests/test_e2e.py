@@ -127,3 +127,47 @@ def test_train_step_data_parallel(batch):
     np.testing.assert_allclose(
         float(dp_losses["loss"]), float(ref_losses["loss"]), rtol=1e-4
     )
+
+
+def test_bf16_eval_metrics_match_fp32(batch):
+    """The bench runs inference with `model.compute_dtype=bfloat16` on
+    fp32-trained weights; the evaluator (acceptance oracle) must agree with
+    the fp32 eval within noise."""
+    cfg = small_config()
+    state, model, criterion, tx = init_state(cfg, batch.device)
+    train_step = make_train_step(cfg, model, criterion, tx)
+    for _ in range(50):
+        state, _ = train_step(state, batch.device)
+
+    counts = np.asarray(batch.device.counts)
+    results = {}
+    for dt in ("fp32", "bfloat16"):
+        cfg2 = small_config()
+        cfg2.model.compute_dtype = None if dt == "fp32" else "bfloat16"
+        _, model2, criterion2, _ = init_state(cfg2, batch.device)
+        eval_step = make_eval_step(cfg2, model2, criterion2)
+        pred_class, pred_masks, _ = eval_step(state, batch.device)
+        pred_class = np.asarray(pred_class)
+        pred_masks = np.asarray(pred_masks)
+        preds, targets = [], []
+        for b in range(2):
+            n = counts[b]
+            preds.append(
+                postprocess_item(
+                    pred_class[b], pred_masks[b, :n],
+                    np.asarray(batch.device.coords[b, :n], np.float32),
+                    batch.scenes[b], use_dbscan=False, scores_threshold=0.1,
+                )
+            )
+            tv = np.asarray(batch.device.target.valid[b])
+            targets.append({
+                "labels": np.asarray(batch.device.target.labels[b])[tv],
+                "masks": np.asarray(batch.device.target.masks[b])[tv][:, :n],
+            })
+        results[dt] = Mask3DEvaluator().evaluate(preds, targets, "val")
+
+    for key in ("val_mean_ap", "val_mean_ap_50", "val_mean_ap_25"):
+        assert abs(results["fp32"][key] - results["bfloat16"][key]) < 0.15, (
+            key, results["fp32"][key], results["bfloat16"][key]
+        )
+    assert results["bfloat16"]["val_mean_ap_25"] > 0.0
