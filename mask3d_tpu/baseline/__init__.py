@@ -16,4 +16,7 @@ from mask3d_tpu.baseline.roomformer import (  # noqa: F401
     RoomFormerOutput,
 )
 from mask3d_tpu.baseline.criterion2d import RoomFormerCriterion  # noqa: F401
-from mask3d_tpu.baseline.floorplan_eval import FloorplanEvaluator  # noqa: F401
+from mask3d_tpu.baseline.floorplan_eval import (  # noqa: F401
+    FloorplanEvaluator,
+    SceneCADEvaluator,
+)

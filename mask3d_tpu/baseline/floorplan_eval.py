@@ -46,10 +46,34 @@ def corner_angles(poly: np.ndarray) -> np.ndarray:
     return np.degrees(np.arccos(np.clip(cos, -1.0, 1.0)))
 
 
-class FloorplanEvaluator:
-    """Accumulates room/corner/angle TP counts over scenes."""
+def _eroded_overlaps(masks: List[np.ndarray], kernel: int) -> List[bool]:
+    """Reference room-metric overlap penalty
+    (`scenecad_eval/Evaluator.py:132-160`, `s3d_floorplan_eval` same): each
+    pred mask is eroded by a `kernel`x`kernel` structuring element and any
+    pairwise intersection >= 1 px flags BOTH predictions."""
+    from scipy.ndimage import binary_erosion
 
-    def __init__(self):
+    struct = np.ones((kernel, kernel), bool)
+    eroded = [binary_erosion(m, structure=struct) for m in masks]
+    flags = [False] * len(masks)
+    for i in range(len(masks) - 1):
+        for j in range(i + 1, len(masks)):
+            if np.logical_and(eroded[i], eroded[j]).sum() >= 1:
+                flags[i] = True
+                flags[j] = True
+    return flags
+
+
+class FloorplanEvaluator:
+    """Accumulates room/corner/angle TP counts over scenes.
+
+    `dataset_type` follows the reference protocol switch
+    (`scenecad_eval/Evaluator.py:118,131`): "s3d" erodes pred masks with a
+    5x5 kernel for the overlap penalty, "scenecad" with 3x3.
+    """
+
+    def __init__(self, dataset_type: str = "s3d"):
+        self.erosion_kernel = 5 if dataset_type == "s3d" else 3
         self.reset()
 
     def reset(self):
@@ -69,10 +93,12 @@ class FloorplanEvaluator:
         c["angle"]["gt"] += sum(len(p) for p in gt_polys)
 
         gt_masks = [rasterize_polygon(p) for p in gt_polys]
+        pred_masks = [rasterize_polygon(p) for p in room_polys]
+        overlaps = _eroded_overlaps(pred_masks, self.erosion_kernel)
         used = set()
         scene = {"room_tp": 0, "corner_tp": 0, "angle_tp": 0}
-        for pred in room_polys:
-            pm = rasterize_polygon(pred)
+        for pi, pred in enumerate(room_polys):
+            pm = pred_masks[pi]
             best_iou, best_j = 0.5, -1
             for j, gm in enumerate(gt_masks):
                 if j in used:
@@ -83,6 +109,11 @@ class FloorplanEvaluator:
                 if iou > best_iou:
                     best_iou, best_j = iou, j
             if best_j < 0:
+                continue
+            # A matched room only counts if it does not overlap another
+            # prediction (reference `get_room_metric`,
+            # `scenecad_eval/Evaluator.py:132-161`).
+            if overlaps[pi]:
                 continue
             used.add(best_j)
             scene["room_tp"] += 1
@@ -114,3 +145,12 @@ class FloorplanEvaluator:
             out[f"{k}_rec"] = rec
             out[f"{k}_f1"] = f1
         return out
+
+
+class SceneCADEvaluator(FloorplanEvaluator):
+    """SceneCAD-protocol variant (`RoomFormer/scenecad_eval/Evaluator.py`):
+    the same room/corner/angle metric family with the 3x3 overlap-erosion
+    kernel (`Evaluator.py:143-146`)."""
+
+    def __init__(self):
+        super().__init__(dataset_type="scenecad")

@@ -292,3 +292,26 @@ def test_floorplan_engine_end_to_end(tmp_path):
 
 
 import os  # noqa: E402
+
+
+def test_floorplan_overlap_penalty_and_scenecad():
+    """Reference room metric: a matched prediction that overlaps another
+    prediction (after erosion) does not count
+    (`scenecad_eval/Evaluator.py:132-161`); SceneCADEvaluator uses the 3x3
+    kernel protocol."""
+    from mask3d_tpu.baseline import SceneCADEvaluator
+
+    sq = np.array([[50, 50], [150, 50], [150, 150], [50, 150]])
+    other = np.array([[60, 60], [160, 60], [160, 160], [60, 160]])
+    ev = FloorplanEvaluator()
+    ev.evaluate_scene([sq, other], [sq])
+    m = ev.summarize()
+    assert m["room_rec"] == 0.0  # matched but overlapping -> not TP
+
+    # Disjoint rooms keep their TPs in the scenecad protocol.
+    far = sq + 120
+    ev2 = SceneCADEvaluator()
+    assert ev2.erosion_kernel == 3
+    ev2.evaluate_scene([sq, far], [sq, far])
+    m2 = ev2.summarize()
+    assert m2["room_prec"] == 1.0 and m2["room_rec"] == 1.0
