@@ -210,6 +210,21 @@ class InstanceSegmentationTrainer:
                 host_losses = {
                     f"train_{k}": float(v) for k, v in losses.items()
                 }
+                if not np.isfinite(host_losses.get("train_loss", 0.0)):
+                    # Reference failure protocol: dump the batch composition
+                    # before surfacing the error (`trainer.py:184-189`
+                    # RuntimeError path, `trainer.py:224-232` ValueError
+                    # dump of shapes/scenes).
+                    counts = np.asarray(host.device.counts)
+                    logger.error(
+                        "non-finite train loss at step %d: scenes=%s "
+                        "point_counts=%s losses=%s",
+                        step, list(host.scenes), counts.tolist(), host_losses,
+                    )
+                    raise FloatingPointError(
+                        f"non-finite train loss at step {step} "
+                        f"(scenes={list(host.scenes)})"
+                    )
                 meter.add_timing("model_forward_complete")
                 self.metrics.log_step(host_losses, step)
             meter.notify_end_item()

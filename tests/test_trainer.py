@@ -171,3 +171,26 @@ def test_remat_backbone_matches_no_remat(data_root, tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
         )
+
+
+def test_nonfinite_loss_guard(data_root, tmp_path):
+    """A non-finite train loss surfaces as FloatingPointError with the batch
+    composition logged (reference failure protocol, `trainer.py:184-189,
+    224-232`: dump scenes/shapes then re-raise)."""
+    import jax.numpy as jnp
+
+    from mask3d_tpu.train.trainer import InstanceSegmentationTrainer
+
+    cfg = small_cfg(data_root, str(tmp_path / "saved_nan"))
+    trainer = InstanceSegmentationTrainer(cfg)
+
+    real_step = trainer.train_step
+
+    def poisoned_step(state, batch):
+        new_state, losses = real_step(state, batch)
+        losses = dict(losses, loss=losses["loss"] * jnp.nan)
+        return new_state, losses
+
+    trainer.train_step = poisoned_step
+    with pytest.raises(FloatingPointError, match="non-finite train loss"):
+        trainer.train_epoch()
