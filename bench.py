@@ -43,6 +43,14 @@ def main(batch_size: int = 8):
     import jax
     import jax.numpy as jnp
 
+    # Persistent compile cache: the flagship forward compiles in ~3 min
+    # through the remote tunnel; cached reloads take seconds.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("MASK3D_COMPILE_CACHE", "/root/repo/.jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from mask3d_tpu.config import Config, apply_overrides
     from mask3d_tpu.data import VoxelizeCollate, make_synthetic_scene
     from mask3d_tpu.sparse import build_sparse_batch, unpack_keys
