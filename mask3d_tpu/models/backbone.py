@@ -164,7 +164,15 @@ class _DenseCtx:
         ))
 
     def conv_in(self, x, w, b):
-        return self._cl[0](dense_ops.dense_conv_same(
+        # Tiny contraction (k^3 * Cin <= 512, e.g. the 5^3 stem on the
+        # 1-channel input) starves the MXU as a 3D conv; fold z into the
+        # feature dims instead (numerically identical, ~10x faster).
+        conv = (
+            dense_ops.dense_conv_same_zfold
+            if w.shape[0] * w.shape[1] <= 512
+            else dense_ops.dense_conv_same
+        )
+        return self._cl[0](conv(
             x, w, self.occ[0], bias=b, compute_dtype=self.dt
         ))
 

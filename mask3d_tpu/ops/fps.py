@@ -40,6 +40,15 @@ def furthest_point_sample(coords, valid, num_samples: int):
             min_dist = jnp.where(v, jnp.minimum(min_dist, d), neg)
             return min_dist, idxs
 
+        if num_samples <= 128:
+            # Static unroll: the batched while-loop's per-iteration overhead
+            # dominates the tiny body (measured ~18 ms of a 218 ms flagship
+            # forward at Q=25, N=65536 on v5e; unrolled the iterations fuse).
+            state = (min_dist, jnp.zeros((num_samples,), jnp.int32))
+            for i in range(num_samples):
+                state = body(i, state)
+            return state[1]
+
         _, idxs = jax.lax.fori_loop(
             0,
             num_samples,

@@ -193,3 +193,24 @@ def test_dense_pyramid_overflow_flag(rng):
                           capacity=256)
     _, pool_d = dense_ops.downsample_level_dense(level, (16, 16, 8), 8)
     assert np.asarray(pool_d.overflow).all()
+
+
+def test_dense_conv_same_zfold_matches_direct(rng):
+    """z-folded conv (stem fast path) is numerically identical to the
+    direct 3D formulation, including bias and k=5 with Cin=1."""
+    level, _ = make_level(rng)
+    occ = dense_ops.occupancy(level, GRID)
+    for radius, cin, cout, bias in ((1, 5, 6, False), (2, 1, 8, True)):
+        k3 = (2 * radius + 1) ** 3
+        w = rng.normal(size=(k3, cin, cout)).astype(np.float32)
+        b = rng.normal(size=(cout,)).astype(np.float32) if bias else None
+        feats = rng.normal(size=(2, level.capacity, cin)).astype(np.float32)
+        feats[~np.asarray(level.valid)] = 0
+        dense = dense_ops.scatter_rows(jnp.asarray(feats), level, GRID)
+        ref = dense_ops.dense_conv_same(dense, jnp.asarray(w), occ, bias=b)
+        got = dense_ops.dense_conv_same_zfold(
+            dense, jnp.asarray(w), occ, bias=b
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
+        )
