@@ -153,7 +153,8 @@ class _DenseCtx:
         ]
         self.occ = [
             self._cl[li](
-                dense_ops.occupancy(sb.levels[li], self.grid_dims[li])
+                sb.occ[li] if len(sb.occ) == len(sb.levels)
+                else dense_ops.occupancy(sb.levels[li], self.grid_dims[li])
             )
             for li in range(len(sb.levels))
         ]

@@ -257,11 +257,29 @@ class Mask3D(nn.Module):
         fm_level = [n_levels - 1 - i for i in range(n_levels)]
 
         # --- Coordinate pyramid (reference mask3d.py:286-299) ---
+        # Built TOGETHER with the pooled mask-feature pyramid further below:
+        # segment ops cost per ROW, not per channel (measured identical time
+        # for 3 and 128 columns), so the two pooling chains are fused into
+        # one avg_pool over the concatenation and split per level.
         coords_pyr = [jax.lax.stop_gradient(raw_coords.astype(jnp.float32))]
+
+        # --- Mask features head (reference mask3d.py:129-136,303) ---
+        mask_feats = nn.Dense(D, name="mask_features_head")(bb_out)
+        mask_feats = jnp.where(sb.levels[0].valid[..., None], mask_feats, 0)
+        mask_feats = maybe_constrain(mask_feats, self.sp_axis)
+
+        # Pooled mask-feature pyramid: average pooling is linear, so
+        # pool^k(F @ E^T) == (pool^k F) @ E^T — computing the pooled features
+        # ONCE replaces the reference's per-iteration pooling chains of
+        # full-resolution mask logits (`mask3d.py:546-547`), exactly.
+        mask_feats_pyr = [jax.lax.stop_gradient(mask_feats)]
+        fused = jnp.concatenate(
+            [coords_pyr[0], mask_feats_pyr[0].astype(jnp.float32)], axis=-1
+        )
         for i, pool in enumerate(sb.pools):
-            coords_pyr.append(
-                avg_pool(coords_pyr[-1], pool, sb.levels[i + 1].capacity)
-            )
+            fused = avg_pool(fused, pool, sb.levels[i + 1].capacity)
+            coords_pyr.append(fused[..., :3])
+            mask_feats_pyr.append(fused[..., 3:].astype(mask_feats.dtype))
 
         gauss_b = self.variable(
             "buffers",
@@ -279,21 +297,6 @@ class Mask3D(nn.Module):
             minmax_pyr.append((mins, maxs))
             pe_pyr.append(
                 self._pos_enc(coords_pyr[li], mins, maxs, gauss_b)
-            )
-
-        # --- Mask features head (reference mask3d.py:129-136,303) ---
-        mask_feats = nn.Dense(D, name="mask_features_head")(bb_out)
-        mask_feats = jnp.where(sb.levels[0].valid[..., None], mask_feats, 0)
-        mask_feats = maybe_constrain(mask_feats, self.sp_axis)
-
-        # Pooled mask-feature pyramid: average pooling is linear, so
-        # pool^k(F @ E^T) == (pool^k F) @ E^T — computing the pooled features
-        # ONCE replaces the reference's per-iteration pooling chains of
-        # full-resolution mask logits (`mask3d.py:546-547`), exactly.
-        mask_feats_pyr = [jax.lax.stop_gradient(mask_feats)]
-        for i, pool in enumerate(sb.pools):
-            mask_feats_pyr.append(
-                avg_pool(mask_feats_pyr[-1], pool, sb.levels[i + 1].capacity)
             )
 
         # --- Query initialization (reference mask3d.py:306-376) ---

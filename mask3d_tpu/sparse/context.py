@@ -44,6 +44,9 @@ class SparseBatch(struct.PyTreeNode):
     nbr_ok: tuple
     nbr0_idx: jax.Array = None  # i32[B, N_0, k0^3]
     nbr0_ok: jax.Array = None
+    # Dense occupancy grids per level (f32[B, Gx, Gy, Gz, 1]); populated on
+    # the dense path so the backbone reuses them instead of re-scattering.
+    occ: tuple = ()
 
     @property
     def batch_size(self) -> int:
@@ -77,16 +80,23 @@ def build_sparse_batch(
     if grid_dims is not None and grid_cells is None:
         grid_cells = tuple(int(d[0] * d[1] * d[2]) for d in grid_dims)
     base = build_base_level(coords, count, dims)
+    occ_grids = ()
     if grid_dims is not None:
-        from mask3d_tpu.sparse.dense_ops import downsample_level_dense
+        from mask3d_tpu.sparse.dense_ops import (
+            downsample_level_dense,
+            occupancy,
+        )
 
         levels, pools = [base], []
+        occ_list = [occupancy(base, grid_dims[0])]
         for li, cap in enumerate(level_capacities):
-            coarse, pool = downsample_level_dense(
-                levels[-1], grid_dims[li], cap
+            coarse, pool, occ_c = downsample_level_dense(
+                levels[-1], grid_dims[li], cap, occ_f=occ_list[-1]
             )
             levels.append(coarse)
             pools.append(pool)
+            occ_list.append(occ_c)
+        occ_grids = tuple(occ_list)
     else:
         levels, pools = build_pyramid(base, level_capacities)
     off3 = cube_offsets(1)
@@ -123,4 +133,5 @@ def build_sparse_batch(
         nbr_ok=tuple(nbr_ok),
         nbr0_idx=nbr0_idx,
         nbr0_ok=nbr0_ok,
+        occ=occ_grids,
     )

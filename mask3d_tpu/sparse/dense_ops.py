@@ -204,7 +204,8 @@ def sumpool2(x):
     )
 
 
-def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int):
+def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int,
+                           occ_f=None):
     """Dense-grid construction of the stride-2 coarse level + PoolMap.
 
     Replaces the argsort-based `core.downsample_level` when static grid dims
@@ -212,6 +213,11 @@ def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int):
     enumeration = exclusive cumsum over cells (cell order == sorted key
     order); parent lookup = one gather of the fine rows. ~10x cheaper than
     per-level argsort on TPU and bit-identical (tested).
+
+    Returns (coarse_level, pool_map, occ_coarse). Pass the fine level's
+    dense occupancy as `occ_f` to reuse it (the row scatter costs ~2.4 ms
+    per call at stride 1 on v5e; the chain occ -> maxpool -> occ shares it
+    with the backbone via `SparseBatch.occ`).
     """
     from mask3d_tpu.sparse.core import INT32_MAX, pack_keys
 
@@ -220,7 +226,8 @@ def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int):
     cgx, cgy, cgz = gx // 2, gy // 2, gz // 2
     cells_c = cgx * cgy * cgz
 
-    occ_f = occupancy(level, grid_dims, dtype=jnp.float32)
+    if occ_f is None:
+        occ_f = occupancy(level, grid_dims, dtype=jnp.float32)
     occ_c = maxpool2(occ_f)  # [B, cgx, cgy, cgz, 1]
     nchild_grid = sumpool2(occ_f)
     flat_c = occ_c.reshape(b, cells_c)
@@ -285,4 +292,4 @@ def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int):
     from mask3d_tpu.sparse.core import PoolMap
 
     pool = PoolMap(parent=parent, kidx=kidx, nchild=nchild, overflow=overflow)
-    return coarse, pool
+    return coarse, pool, occ_c

@@ -173,8 +173,12 @@ def test_dense_pyramid_matches_row_pyramid(rng):
     level, _ = make_batch(rng, num_items=2, dims=(16, 16, 8), max_pts=200,
                           capacity=256)
     coarse_r, pool_r = downsample_level(level, 256)
-    coarse_d, pool_d = dense_ops.downsample_level_dense(level, (16, 16, 8),
-                                                        256)
+    coarse_d, pool_d, occ_c = dense_ops.downsample_level_dense(
+        level, (16, 16, 8), 256)
+    # coarse occupancy grid == scatter of the coarse rows
+    np.testing.assert_array_equal(
+        np.asarray(occ_c), np.asarray(dense_ops.occupancy(coarse_d, (8, 8, 4)))
+    )
     for field in ("key", "coords", "valid", "count", "dims"):
         np.testing.assert_array_equal(
             np.asarray(getattr(coarse_r, field)),
@@ -191,7 +195,7 @@ def test_dense_pyramid_matches_row_pyramid(rng):
 def test_dense_pyramid_overflow_flag(rng):
     level, _ = make_batch(rng, num_items=2, dims=(16, 16, 8), max_pts=200,
                           capacity=256)
-    _, pool_d = dense_ops.downsample_level_dense(level, (16, 16, 8), 8)
+    _, pool_d, _ = dense_ops.downsample_level_dense(level, (16, 16, 8), 8)
     assert np.asarray(pool_d.overflow).all()
 
 
