@@ -194,3 +194,39 @@ def test_nonfinite_loss_guard(data_root, tmp_path):
     trainer.train_step = poisoned_step
     with pytest.raises(FloatingPointError, match="non-finite train loss"):
         trainer.train_epoch()
+
+
+def test_training_determinism(data_root, tmp_path):
+    """Fixed seed => bit-identical losses and parameters across two runs
+    (the reference pins `seed_everything(1)` + `trainer.deterministic: true`,
+    `main_instance_segmentation.py:35`, `conf/trainer/trainer.yaml:1`)."""
+    import jax
+
+    from mask3d_tpu.data.collate import VoxelizeCollate
+    from mask3d_tpu.data.datasets import DATASETS
+    from mask3d_tpu.train.loop import init_state, make_train_step
+
+    cfg = small_cfg(data_root, str(tmp_path / "saved_det"))
+    ds = DATASETS["structured3d"](
+        mode="train", data_root=data_root, rasterization_factor=150,
+        volume_augmentations="none",
+    )
+    collate = VoxelizeCollate(
+        point_bucket_multiple=cfg.data.point_bucket_multiple,
+        num_queries=cfg.model.num_queries,
+    )
+    batch = jax.device_put(collate([ds[0], ds[1]]).device)
+
+    results = []
+    for _run in range(2):
+        state, model, criterion, tx = init_state(cfg, batch)
+        step = make_train_step(cfg, model, criterion, tx)
+        losses = []
+        for _ in range(2):
+            state, out = step(state, batch)
+            losses.append(float(out["loss"]))
+        results.append((losses, jax.tree_util.tree_leaves(state.params)))
+
+    assert results[0][0] == results[1][0], "losses diverged across runs"
+    for a, b in zip(results[0][1], results[1][1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
