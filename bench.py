@@ -42,7 +42,7 @@ import numpy as np
 
 
 BASELINE_POINTS_PER_SEC = 1.0e6  # estimated A100 reference pipeline
-NUM_BATCHES = 12
+NUM_BATCHES = 24
 
 
 def main(batch_size: int = 8):
@@ -98,14 +98,23 @@ def main(batch_size: int = 8):
     batch = warm_host.device
     state, model, _, _ = init_state(cfg, batch)
 
-    # Transfer layout: ONE packed int32 key per voxel (the collator's sort
-    # key) instead of three coordinates, and the constant-ones feature
-    # column (reference `conf/data/indoor.yaml` add_colors: false) is
-    # synthesized on device — 4x fewer host->device bytes, information
-    # -identical input (coords reconstructed by `unpack_keys`; exercised by
-    # tests/test_sparse_core.py::test_unpack_keys_roundtrip).
+    # Transfer layout: the whole batch rides in ONE uint8 buffer at ~1 byte
+    # per voxel — u8-delta-coded sorted keys + escape table + counts/dims
+    # (`mask3d_tpu/data/transfer.py`; bit-exact roundtrip tested in
+    # tests/test_data_io.py). The constant-ones feature column (reference
+    # `conf/data/indoor.yaml` add_colors: false) is synthesized on device
+    # and coords are reconstructed by `unpack_keys` — information-identical
+    # input at ~16x fewer host->device bytes than shipping coordinates.
+    # Measured: the input device_put is bandwidth-bound through the tunnel
+    # and serializes with compute (~60 ms/batch at i32 keys); this cuts it
+    # to ~15 ms.
+    from mask3d_tpu.data.transfer import decode_keys_u8, encode_keys_u8
+
+    n_cap = int(batch.coords.shape[1])
+
     @jax.jit
-    def infer(params, buffers, keys, counts, dims):
+    def infer(params, buffers, buf):
+        keys, counts, dims = decode_keys_u8(buf, batch_size, n_cap)
         coords = unpack_keys(keys, dims)
         rows = jnp.arange(keys.shape[1], dtype=jnp.int32)[None]
         coords = jnp.where((rows < counts[:, None])[..., None], coords, 0)
@@ -118,7 +127,7 @@ def main(batch_size: int = 8):
         out = model.apply(
             {"params": params, "buffers": buffers},
             sb, feats, coords.astype(jnp.float32), True,
-            grid_dims=batch.grid_dims,
+            grid_dims=batch.grid_dims, aux_masks=False,
         )
         return out.pred_class, out.pred_masks
 
@@ -126,39 +135,53 @@ def main(batch_size: int = 8):
         keys = pack_keys(
             np.asarray(b.coords), np.asarray(b.dims)[:, None, :]
         ).astype(np.int32)
-        return keys, b.counts, b.dims
+        return encode_keys_u8(keys, b.counts, b.dims)
 
     def run_one(args):
-        keys, counts, dims = args
-        return infer(state.params, state.buffers, keys, counts, dims)
+        return infer(state.params, state.buffers, args)
 
     # Warmup / compile.
     _ = jax.device_get(run_one(host_args(warm_host.device))[0])
 
-    # Feeder threads collate only; the main thread owns every tunnel RPC
-    # (device_put, dispatch, device_get) — concurrent RPCs from multiple
-    # threads were measured to contend and cost ~90 ms/batch.
+    # Thread layout (measured, see docs/ARCHITECTURE.md):
+    # - feeder threads collate (host CPU only, no tunnel RPCs);
+    # - ONE stager thread owns host->device transfers (a device_put RPC
+    #   blocks ~60 ms through the tunnel — staged here it overlaps the
+    #   previous batches' device compute);
+    # - the main thread dispatches and fetches each batch's pred_class at a
+    #   fixed lag. Three+ concurrent RPC streams were measured to contend;
+    #   this split (1 put stream + 1 dispatch/fetch stream) does not.
     LAG = 4
-    q: "queue.Queue" = queue.Queue(maxsize=4)
+    q: "queue.Queue" = queue.Queue(maxsize=6)
+    sq: "queue.Queue" = queue.Queue(maxsize=6)
 
     def feeder(chunk):
+        # collate AND u8-encode here (host CPU work, parallel across
+        # feeders); the stager only issues the device_put RPC.
         for items in chunk:
-            q.put(collate(items))
+            host = collate(items)
+            q.put((host, host_args(host.device)))
+
+    def stager():
+        for _ in range(NUM_BATCHES):
+            host, buf = q.get()
+            sq.put((host, jax.device_put(buf)))
 
     n_points = 0
     fetched = []
     pending = []
     t0 = time.perf_counter()
     feeders = [
-        threading.Thread(target=feeder, args=(all_items[i::2],), daemon=True)
-        for i in range(2)
+        threading.Thread(target=feeder, args=(all_items[i::3],), daemon=True)
+        for i in range(3)
     ]
     for th in feeders:
         th.start()
+    st = threading.Thread(target=stager, daemon=True)
+    st.start()
     for _ in range(NUM_BATCHES):
-        host = q.get()
+        host, args = sq.get()
         n_points += int(np.asarray(host.device.counts).sum())
-        args = jax.device_put(host_args(host.device))
         pending.append(run_one(args))
         if len(pending) > LAG:
             fetched.append(jax.device_get(pending.pop(0)[0]))
@@ -166,7 +189,7 @@ def main(batch_size: int = 8):
         fetched.append(jax.device_get(pending.pop(0)[0]))
     total_time = time.perf_counter() - t0
     assert len(fetched) == NUM_BATCHES
-    for th in feeders:
+    for th in feeders + [st]:
         th.join()
 
     pps = n_points / total_time

@@ -10,3 +10,7 @@ producing static-shape padded batches for the TPU path.
 from mask3d_tpu.data.batch import DeviceBatch, HostBatch, Targets  # noqa: F401
 from mask3d_tpu.data.collate import VoxelizeCollate  # noqa: F401
 from mask3d_tpu.data.synthetic import make_synthetic_scene  # noqa: F401
+from mask3d_tpu.data.transfer import (  # noqa: F401
+    decode_keys_u8,
+    encode_keys_u8,
+)

@@ -222,10 +222,15 @@ class Mask3D(nn.Module):
 
     @nn.compact
     def __call__(self, sb: SparseBatch, feats, raw_coords, is_eval=False,
-                 grid_dims=None) -> Mask3DOutput:
+                 grid_dims=None, aux_masks=True) -> Mask3DOutput:
         """feats: [B, N1, in_channels]; raw_coords: f32[B, N1, 3] (the voxel
         coordinates as floats, the reference's `input_batch.coordinates[:,1:4]`
-        used as PE/FPS positions, `mask3d/models/mask3d.py:286-294`)."""
+        used as PE/FPS positions, `mask3d/models/mask3d.py:286-294`).
+
+        `aux_masks=False` (inference-only) skips the 12 auxiliary
+        full-resolution mask logits — they exist for the deep-supervision
+        loss; `aux_pred_masks` then has L=1 (the final prediction), and
+        `pred_masks`/`pred_class` are unchanged."""
         D = self.hidden_dim
         B = feats.shape[0]
         Q = self.num_queries
@@ -375,17 +380,26 @@ class Mask3D(nn.Module):
         mask_embed_out = nn.Dense(D, name="mask_embed_out")
         class_embed = nn.Dense(self.num_classes + 1, name="class_embed_head")
 
-        def mask_module(qs, num_pooling_steps, ret_attn=True):
+        def mask_module(qs, num_pooling_steps, ret_attn=True,
+                        ret_masks=True):
             """Reference mask3d.py:520-561 (attention masks via the pooled
-            mask-feature pyramid — see comment above; exact by linearity)."""
+            mask-feature pyramid — see comment above; exact by linearity).
+
+            `ret_masks=False` skips the full-resolution mask einsum — the
+            12 auxiliary [B, N1, Q] mask logits exist only for the deep
+            -supervision loss, so pure inference computes just the final
+            one (measured ~55 ms/batch of einsum + HBM writes on v5e).
+            """
             qn = decoder_norm(qs)
             mask_embed = mask_embed_out(nn.relu(mask_embed_hidden(qn)))
             out_class = class_embed(qn)
-            out_masks = jnp.einsum(
-                "bnd,bqd->bnq", mask_feats, mask_embed,
-                preferred_element_type=jnp.float32,
-            )
-            out_masks = maybe_constrain(out_masks, self.sp_axis)
+            out_masks = None
+            if ret_masks:
+                out_masks = jnp.einsum(
+                    "bnd,bqd->bnq", mask_feats, mask_embed,
+                    preferred_element_type=jnp.float32,
+                )
+                out_masks = maybe_constrain(out_masks, self.sp_axis)
             if not ret_attn:
                 return out_class, out_masks, None
             pooled = jnp.einsum(
@@ -407,7 +421,8 @@ class Mask3D(nn.Module):
             for li, hlevel in enumerate(self.hlevels):
                 lvl = fm_level[hlevel]  # sparse level index of this map
                 out_class, out_masks, attn_bool = mask_module(
-                    queries, num_pooling_steps=lvl, ret_attn=True
+                    queries, num_pooling_steps=lvl, ret_attn=True,
+                    ret_masks=aux_masks,
                 )
                 level = sb.levels[lvl]
                 feats_l = feature_maps[hlevel]
@@ -479,7 +494,8 @@ class Mask3D(nn.Module):
                 queries = ffns[d][li](queries, deterministic=deterministic)
 
                 predictions_class.append(out_class)
-                predictions_masks.append(out_masks)
+                if aux_masks:
+                    predictions_masks.append(out_masks)
 
         out_class, out_masks, _ = mask_module(queries, 0, ret_attn=False)
         predictions_class.append(out_class)

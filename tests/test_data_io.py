@@ -145,3 +145,38 @@ def test_rotation_preserves_distances(rng):
     np.testing.assert_allclose(d0, d1, rtol=1e-6)
     # z distances unchanged for z-axis rotation
     np.testing.assert_allclose(pts[:, 2], out[:, 2], atol=1e-9)
+
+
+def test_key_transfer_codec_roundtrip():
+    """u8-delta key codec: encode on host, decode under jit, bit-exact."""
+    import jax
+
+    from mask3d_tpu.data.transfer import decode_keys_u8, encode_keys_u8
+
+    rng = np.random.default_rng(0)
+    b, n = 3, 512
+    keys = np.zeros((b, n), np.int32)
+    counts = np.array([500, 1, 512], np.int32)
+    dims = rng.integers(1, 100, size=(b, 3)).astype(np.int32)
+    for i in range(b):
+        # sorted unique keys with occasional huge gaps (escape path)
+        deltas = rng.integers(1, 40, size=counts[i])
+        deltas[rng.random(counts[i]) < 0.01] += 100_000
+        deltas[0] = rng.integers(0, 500_000)
+        keys[i, :counts[i]] = np.cumsum(deltas)
+    buf = encode_keys_u8(keys, counts, dims)
+    dk, dc, dd = decode_keys_u8(jax.numpy.asarray(buf), b, n)
+    np.testing.assert_array_equal(np.asarray(dc), counts)
+    np.testing.assert_array_equal(np.asarray(dd), dims)
+    for i in range(b):
+        np.testing.assert_array_equal(
+            np.asarray(dk)[i, :counts[i]], keys[i, :counts[i]]
+        )
+
+    # escape-capacity overflow is a loud error
+    import pytest
+
+    huge = np.cumsum(np.full((1, n), 300, np.int64), axis=1).astype(np.int32)
+    with pytest.raises(ValueError, match="escape"):
+        encode_keys_u8(huge, np.array([n], np.int32),
+                       np.ones((1, 3), np.int32), escape_capacity=4)

@@ -106,6 +106,18 @@ def test_mask3d_forward_train_and_eval(scene):
         np.asarray(e1.pred_masks), np.asarray(e2.pred_masks)
     )
 
+    # aux_masks=False (inference fast path): identical final predictions,
+    # aux_pred_masks collapsed to L=1, class heads untouched.
+    e3 = model.apply(variables, sb, feats, raw, True, aux_masks=False)
+    assert e3.aux_pred_masks.shape[0] == 1
+    assert e3.aux_pred_class.shape[0] == L
+    np.testing.assert_array_equal(
+        np.asarray(e3.pred_masks), np.asarray(e1.pred_masks)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(e3.pred_class), np.asarray(e1.pred_class)
+    )
+
 
 def test_mask3d_gradients_flow(scene):
     sb, feats, raw = scene
