@@ -176,6 +176,11 @@ class TrainerConfig:
     num_sanity_val_steps: int = 0
     # TPU-specific
     num_data_parallel: int = 1
+    # Gradient accumulation: split each batch into K equal micro-batches
+    # scanned inside ONE jitted step (activation memory scales with B/K).
+    # Enables the reference's batch-16 training recipe on a single 16 GB
+    # chip, where the dense f32 backward at batch >= 8 exceeds HBM.
+    grad_accum_steps: int = 1
     log_every_n_steps: int = 10
     # jax.profiler trace of steps [profile_start, profile_start+profile_steps)
     # written to <run_dir>/profile (reference analogue: torch-tb-profiler,

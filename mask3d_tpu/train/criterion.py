@@ -207,12 +207,20 @@ class SetCriterion:
         )
         return ce, lm, ld
 
-    def __call__(self, output: Mask3DOutput, targets: Targets, point_valid
-                 ) -> Dict[str, jax.Array]:
+    def __call__(self, output: Mask3DOutput, targets: Targets, point_valid,
+                 ce_scale: float = 1.0) -> Dict[str, jax.Array]:
         """All-level losses. Returns the reference's loss dict shape:
         loss_ce/loss_mask/loss_dice for the final output,
         *_mask_module_{i} for the aux outputs, plus weighted total "loss"
-        (weights == matcher costs, `trainer.py:154-169`)."""
+        (weights == matcher costs, `trainer.py:154-169`).
+
+        `ce_scale` multiplies the CE terms in the TOTAL only (the reported
+        per-level entries stay raw). Gradient accumulation uses it: mask/
+        dice are batch SUMS (the reference shadows its global `num_masks`
+        with the per-item count and sums items, `criterion.py:188,207-208`)
+        so micro-batch gradients add exactly, while CE is a batch MEAN
+        (`criterion.py:160-164`) so each micro-batch contributes 1/K of it.
+        """
         L = output.aux_pred_class.shape[0]
 
         def level(carry, xs):
@@ -230,7 +238,8 @@ class SetCriterion:
             "loss_dice": per_level[-1, 2],
         }
         w = jnp.asarray(
-            [self.cost_class, self.cost_mask, self.cost_dice], jnp.float32
+            [self.cost_class * ce_scale, self.cost_mask, self.cost_dice],
+            jnp.float32,
         )
         level_w = jnp.ones((L,), jnp.float32)
         for i in self.ignore_mask_idx:

@@ -183,11 +183,9 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
                     tx) -> Any:
     caps = None  # derived per batch capacity (static under jit)
 
-    @jax.jit
-    def train_step(state: TrainState, batch: DeviceBatch
-                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-        rng, k_sample, k_queries = jax.random.split(state.rng, 3)
+    accum = max(1, int(cfg.trainer.grad_accum_steps))
 
+    def _grads_for(state, batch, k_sample, k_queries, ce_scale=1.0):
         sb = build_sparse_batch(
             batch.coords, batch.counts, batch.dims,
             level_capacities(cfg, batch.coords.shape[1]),
@@ -205,10 +203,72 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
                 grid_dims=batch.grid_dims,
                 rngs={"sample": k_sample, "queries": k_queries},
             )
-            losses = criterion(out, targets, sb.levels[0].valid)
+            losses = criterion(
+                out, targets, sb.levels[0].valid, ce_scale=ce_scale
+            )
             return losses["loss"], losses
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        return jax.grad(loss_fn, has_aux=True)(state.params)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: DeviceBatch
+                   ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        rng, k_sample, k_queries = jax.random.split(state.rng, 3)
+
+        if accum == 1:
+            grads, losses = _grads_for(state, batch, k_sample, k_queries)
+        else:
+            # Gradient accumulation: scan K micro-batches of B/K items —
+            # activation memory scales with B/K. Micro gradients are
+            # SUMMED: the reference's mask/dice losses are batch sums
+            # (per-item num_masks normalizer, `criterion.py:188,207-208`),
+            # so summed micro gradients reproduce the full-batch gradient
+            # exactly; the CE term is a batch mean, so each micro batch
+            # contributes it at weight 1/K via `ce_scale` (exact when the
+            # micro batches have equal CE weight sums, else the standard
+            # accumulation approximation).
+            b = batch.coords.shape[0]
+            assert b % accum == 0, (b, accum)
+
+            def split(x):
+                return x.reshape((accum, b // accum) + x.shape[1:])
+
+            micro_batches = jax.tree_util.tree_map(split, batch)
+            ks = jax.random.split(k_sample, accum)
+            kq = jax.random.split(k_queries, accum)
+
+            def micro(carry, xs):
+                mb, k_s, k_q = xs
+                g, l = _grads_for(
+                    state, mb, k_s, k_q, ce_scale=1.0 / accum
+                )
+                g_acc, l_acc = carry
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                l_acc = jax.tree_util.tree_map(jnp.add, l_acc, l)
+                return (g_acc, l_acc), None
+
+            zero_g = jax.tree_util.tree_map(
+                jnp.zeros_like, state.params
+            )
+            ex_mb = jax.tree_util.tree_map(
+                lambda x: x[0], micro_batches
+            )
+            zero_l = jax.tree_util.tree_map(
+                jnp.zeros_like,
+                jax.eval_shape(
+                    lambda: _grads_for(state, ex_mb, ks[0], kq[0])[1]
+                ),
+            )
+            (grads, losses), _ = jax.lax.scan(
+                micro, (zero_g, zero_l), (micro_batches, ks, kq)
+            )
+            # Reported dict: CE entries are batch means (divide the summed
+            # chunk means by K); mask/dice entries and the total are sums.
+            losses = {
+                k: (v / accum if "_ce" in k else v)
+                for k, v in losses.items()
+            }
+
         updates, opt_state = tx.update(
             grads, state.opt_state, state.params
         )

@@ -230,3 +230,49 @@ def test_training_determinism(data_root, tmp_path):
     assert results[0][0] == results[1][0], "losses diverged across runs"
     for a, b in zip(results[0][1], results[1][1]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accumulation_matches_full_batch(data_root, tmp_path):
+    """grad_accum_steps=2 on a batch of two IDENTICAL items produces the
+    same losses and parameter update as the unaccumulated step (per-chunk
+    num_masks normalization == reference DDP semantics,
+    `models/criterion.py:244-246`)."""
+    import jax
+
+    from mask3d_tpu.data.collate import VoxelizeCollate
+    from mask3d_tpu.data.datasets import DATASETS
+    from mask3d_tpu.train.loop import init_state, make_train_step
+
+    ds = DATASETS["structured3d"](
+        mode="train", data_root=data_root, rasterization_factor=150,
+        volume_augmentations="none",
+    )
+    collate = VoxelizeCollate(point_bucket_multiple=1024, num_queries=6)
+    item = ds[0]
+    batch = jax.device_put(collate([item, item]).device)
+
+    params = {}
+    losses = {}
+    for accum in (1, 2):
+        cfg = small_cfg(data_root, str(tmp_path / f"saved_ga{accum}"))
+        # Large sample sizes => full-level memory (no sampling rng), so the
+        # accumulated and full-batch paths see identical randomness.
+        cfg.model.sample_sizes = [1024] * 5
+        cfg.trainer.grad_accum_steps = accum
+        state, model, criterion, tx = init_state(cfg, batch)
+        step = make_train_step(cfg, model, criterion, tx)
+        new_state, out = step(state, batch)
+        losses[accum] = float(out["loss"])
+        params[accum] = jax.tree_util.tree_leaves(new_state.params)
+
+    assert np.isfinite(losses[1])
+    np.testing.assert_allclose(losses[1], losses[2], rtol=1e-5)
+    # Tolerances cover fp32 summation-order noise amplified through the
+    # AdamW second-moment normalizer on near-zero-gradient elements
+    # (observed: 1 element in ~6e5 at |diff| ~1e-4). A real accumulation
+    # arithmetic error (e.g. a factor-K mis-scale) would shift whole
+    # tensors, which these bounds still catch.
+    for a, b in zip(params[1], params[2]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4
+        )
