@@ -5,7 +5,11 @@
 EXPERIMENT_NAME="experiment1_voxel_size_200"
 echo "Running $EXPERIMENT_NAME TRAIN"
 
+# trainer.grad_accum_steps: fit the reference batch size in one
+# 16 GB chip's HBM (see docs/ARCHITECTURE.md training-memory notes);
+# drop or lower it on multi-chip dp meshes.
 python -m mask3d_tpu.cli train \
+    'trainer.grad_accum_steps=4' \
     general.experiment_name="$EXPERIMENT_NAME" \
     'data.dataset=structured3d' \
     'trainer.max_epochs=30' \
