@@ -1,0 +1,182 @@
+"""Pallas TPU kernel for monotone row gathers.
+
+XLA's row gather on TPU runs at ~65M rows/s regardless of width (measured
+— docs/ARCHITECTURE.md): `take_along_axis` lowers to a per-row dynamic
+-slice loop. The dense-grid backbone's row taps (`dense_ops.gather_rows`)
+gather rows in SORTED cell order (keys ascend per item), so the source
+indices of T consecutive output rows live in one contiguous window of the
+flattened source — the same structural premise as the windowed sparse-conv
+kernel (`pallas_conv.py`). Per tile this kernel:
+
+  1. async-DMAs the window `src[base : base+W]` HBM→VMEM (double-buffered
+     across tiles);
+  2. builds the one-hot selection `S[t, j] = (idx[t] - base == j)` on the
+     VPU;
+  3. emits `S @ window` — one MXU matmul, bf16 inputs, f32 accumulate.
+
+The premise is checked on device and a `lax.cond` falls back to the exact
+XLA gather when any tile violates it, so the op is always exact. The op is
+linear with fixed indices; backward is the exact XLA scatter (custom_vjp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(W, bases_ref, idx_ref, ok_ref, src_ref, out_ref, win, sem, *,
+            T):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    def dma(slot, bi, ti):
+        base = pl.multiple_of(bases_ref[bi, ti], 8)
+        return pltpu.make_async_copy(
+            src_ref.at[bi, pl.ds(base, W), :],
+            win.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when((b == 0) & (i == 0))
+    def _start_first():
+        dma(0, 0, 0).start()
+
+    # Prefetch the next tile's window while this one computes.
+    nxt_i = jnp.where(i + 1 < nt, i + 1, 0)
+    nxt_b = jnp.where(i + 1 < nt, b, b + 1)
+    last = (b == pl.num_programs(0) - 1) & (i == nt - 1)
+
+    @pl.when(~last)
+    def _start_next():
+        dma((i + 1) % 2, nxt_b, nxt_i).start()
+
+    slot = i % 2
+    dma(slot, b, i).wait()
+    loc = idx_ref[0, 0, :, 0] - bases_ref[b, i]  # [T]
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    sel = (col == loc[:, None]) & ok_ref[0, 0, :, 0][:, None]
+    out_ref[0, 0] = jnp.dot(
+        sel.astype(jnp.bfloat16), win[slot],
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pallas_branch(src, idx, ok, bases, tile, window):
+    b, n, c = src.shape
+    m = idx.shape[1]
+    nt = m // tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nt),
+        in_specs=[
+            # trailing unit dim keeps the (sublane, lane) block dims
+            # Mosaic-aligned (tile, 1) — same layout as pallas_conv
+            pl.BlockSpec((1, 1, tile, 1), lambda bi, ti, _s: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, 1), lambda bi, ti, _s: (bi, ti, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # src stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, tile, c), lambda bi, ti, _s: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, window, c), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, window, T=tile),
+        out_shape=jax.ShapeDtypeStruct((b, nt, tile, c), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * m * window * c,
+            bytes_accessed=b * nt * window * c * 2 + b * m * c * 4,
+            transcendentals=0,
+        ),
+    )(
+        bases,
+        idx.reshape(b, nt, tile, 1),
+        ok.reshape(b, nt, tile, 1),
+        src.astype(jnp.bfloat16),
+    )
+    return out.reshape(b, m, c)
+
+
+def _forward(src, idx, ok, tile, window):
+    b, n, _ = src.shape
+    m = idx.shape[1]
+    nt = m // tile
+    idx_t = idx.reshape(b, nt, tile)
+    ok_t = ok.reshape(b, nt, tile)
+    masked = jnp.where(ok_t, idx_t, n - 1)
+    bases = jnp.minimum(jnp.min(masked, axis=2), n - window)
+    bases = jnp.maximum(bases, 0).astype(jnp.int32)
+    # Mosaic requires the dynamic HBM slice start to be divisible by the
+    # sublane tiling (8); aligning down only widens each tile's window.
+    bases = bases & ~7
+    all_hit = jnp.all(
+        jnp.where(ok_t, idx_t - bases[:, :, None] < window, True)
+    )
+
+    def fast(s):
+        return _pallas_branch(s, idx, ok, bases, tile, window)
+
+    def slow(s):
+        rows = jnp.take_along_axis(
+            s.astype(jnp.float32), idx[..., None], axis=1
+        )
+        return jnp.where(ok[..., None], rows, 0.0)
+
+    # STATUS: the compiled Mosaic path currently fails on v5e — the
+    # dynamic HBM slice start is not provably divisible by the (8, 128)
+    # sublane tiling even with `pl.multiple_of` + 8-aligned bases
+    # ("Failed to prove that a tile index in dimension 1 is divisible by
+    # the tiling (8)"). Until that is resolved the op takes the exact XLA
+    # gather on TPU; the Pallas branch runs under the interpreter (tests)
+    # so the kernel logic stays verified.
+    if jax.default_backend() == "tpu":
+        return slow(src)
+    return jax.lax.cond(all_hit, fast, slow, src)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def monotone_gather(src, idx, ok, tile=256, window=4096):
+    """out[b, i] = src[b, idx[b, i]] (0 where ~ok), f32 [B, M, C].
+
+    `idx` must be (approximately) monotone non-decreasing per item for the
+    fast path — sorted-key row taps satisfy this; arbitrary indices fall
+    back to the exact XLA gather. Requires M % tile == 0 and N >= window
+    (see `supports`). bf16 compute, f32 accumulate.
+    """
+    return _forward(src, idx, ok, tile, window)
+
+
+def _fwd(src, idx, ok, tile, window):
+    return _forward(src, idx, ok, tile, window), (src, idx, ok)
+
+
+def _bwd(tile, window, res, g):
+    src, idx, ok = res
+    b = src.shape[0]
+    contrib = jnp.where(ok[..., None], g.astype(jnp.float32), 0.0)
+    b_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
+    dsrc = jnp.zeros(src.shape, jnp.float32).at[b_idx, idx].add(contrib)
+    return dsrc.astype(src.dtype), None, None
+
+
+monotone_gather.defvjp(_fwd, _bwd)
+
+
+def supports(m_rows: int, n_src: int, tile: int = 256,
+             window: int = 4096) -> bool:
+    """Static eligibility for capacity-M gathers from an N-row source."""
+    return m_rows % tile == 0 and n_src >= window
