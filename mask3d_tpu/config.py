@@ -74,7 +74,8 @@ class DataConfig:
     prediction_label_offset: int = 1
     data_fraction: float = 1.0
     volume_augmentations: str = "stru3d"  # none | stru3d | s3dis | matterport3d
-    filter_out_classes: Tuple[int, ...] = ()
+    # Reference `conf/data/datasets/structured3d_room_detection.yaml:21`.
+    filter_out_classes: Tuple[int, ...] = (0, 17, 18, 19, 21)
     filter_out_instance_ids: Tuple[int, ...] = (-1, 0)
     # TPU bucketing (no reference equivalent: static-shape padding control)
     point_bucket_multiple: int = 4096

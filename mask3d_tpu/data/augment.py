@@ -58,7 +58,11 @@ def random_dropout(ratio: float):
         keep = rng.random(len(pts)) >= ratio
         if not keep.any():
             return pts, feats, labels
-        return pts[keep], feats[keep], labels[keep]
+        # 4th element: keep-mask so callers can subset parallel arrays
+        # (raw_coordinates etc.) consistently — volumentations keeps all
+        # arrays aligned by transforming them together; here Compose
+        # threads the cumulative kept-row indices instead.
+        return pts[keep], feats[keep], labels[keep], keep
 
     return fn
 
@@ -70,12 +74,21 @@ class Compose:
         self.rng = np.random.default_rng(seed)
 
     def __call__(self, points, features, labels):
+        kept = np.arange(len(points))
         for p, fn in self.transforms:
             if self.rng.random() < p:
-                points, features, labels = fn(
-                    self.rng, points, features, labels
-                )
-        return {"points": points, "features": features, "labels": labels}
+                out = fn(self.rng, points, features, labels)
+                if len(out) == 4:  # row-dropping transform: cumulate keep
+                    points, features, labels, keep = out
+                    kept = kept[keep]
+                else:
+                    points, features, labels = out
+        return {
+            "points": points,
+            "features": features,
+            "labels": labels,
+            "kept_indices": kept,
+        }
 
 
 PI = math.pi

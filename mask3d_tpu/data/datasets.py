@@ -151,9 +151,16 @@ class Structured3DSegmentationDataset:
             )
             if len(coords) == 0:
                 raise ValueError(f"Empty augmented data for scene {scene}")
-            raw_coordinates = raw_coordinates[: len(coords)]
-            raw_features = raw_features[: len(coords)]
-            raw_labels = raw_labels[: len(coords)]
+            # Row-dropping augmentations (random_dropout in the s3dis /
+            # matterport presets) report which rows survived; subset the
+            # raw arrays by the same rows so raw_coordinates[i] still
+            # corresponds to coordinates[i] (the reference keeps them
+            # aligned because volumentations transforms all arrays
+            # together).
+            kept = aug["kept_indices"]
+            raw_coordinates = raw_coordinates[kept]
+            raw_features = raw_features[kept]
+            raw_labels = raw_labels[kept]
 
         return {
             "coordinates": coords,

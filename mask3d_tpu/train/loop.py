@@ -179,6 +179,15 @@ def init_state(cfg: Config, example: DeviceBatch, seed: Optional[int] = None
     return state, model, criterion, tx
 
 
+def _batch_overflow(sb) -> jax.Array:
+    """i32 scalar: 1 if any pyramid level of any item overflowed its
+    capacity (voxels silently dropped)."""
+    ovf = jnp.zeros((), bool)
+    for p in sb.pools:
+        ovf = ovf | p.overflow.any()
+    return ovf.astype(jnp.int32)
+
+
 def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
                     tx) -> Any:
     caps = None  # derived per batch capacity (static under jit)
@@ -208,7 +217,16 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
             )
             return losses["loss"], losses
 
-        return jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        # Level-capacity overflow: a pyramid level dropped voxels (its
+        # capacity was exceeded), so this micro-batch's gradient is built
+        # on a corrupted structure. Surfaced so train_step can skip the
+        # update — the TPU equivalent of the reference's
+        # SinglePointRuntimeError batch-skip (`mask3d/models/mask3d.py:23-26`
+        # -> `trainer/trainer.py:276-279`).
+        losses = dict(losses)
+        losses["batch_overflow"] = _batch_overflow(sb)
+        return grads, losses
 
     @jax.jit
     def train_step(state: TrainState, batch: DeviceBatch
@@ -273,10 +291,20 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
+        # Skip the update on capacity overflow (reference batch-skip
+        # protocol): params/opt_state keep their old values; step/rng
+        # advance so the data order is unaffected.
+        skip = losses["batch_overflow"] > 0
+
+        def keep_old(new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(skip, o, n), new, old
+            )
+
         new_state = state.replace(
             step=state.step + 1,
-            params=params,
-            opt_state=opt_state,
+            params=keep_old(params, state.params),
+            opt_state=keep_old(opt_state, state.opt_state),
             rng=rng,
         )
         return new_state, losses
@@ -303,6 +331,8 @@ def make_eval_step(cfg: Config, model: Mask3D, criterion: SetCriterion
             cfg.data.prediction_label_offset
         )
         losses = criterion(out, targets, sb.levels[0].valid)
+        losses = dict(losses)
+        losses["batch_overflow"] = _batch_overflow(sb)
         return out.pred_class, out.pred_masks, losses
 
     return eval_step

@@ -23,6 +23,7 @@ import os
 import queue
 import threading
 import time
+from collections import deque
 from typing import Dict, Iterable, List, Optional
 
 import numpy as np
@@ -184,9 +185,43 @@ class InstanceSegmentationTrainer:
 
     # ------------------------------------------------------------------ #
 
+    def _check_step(self, step: int, losses, scenes, counts) -> None:
+        """Per-step guards, evaluated at a small lag so the scalar fetch
+        does not stall the dispatch pipeline.
+
+        - Non-finite loss: dump the offending batch's composition and
+          raise (reference asserts non-NaN on EVERY training step,
+          `trainer.py:204` get_loss_sum; dump protocol `trainer.py:224-232`).
+        - Capacity overflow: the jitted step already skipped the optimizer
+          update (`train/loop.py`); log the composition so the operator can
+          widen `data.level_cap_ratios` / bucket sizes.
+        """
+        loss_val = float(losses["loss"])
+        if int(losses.get("batch_overflow", 0)) > 0:
+            logger.warning(
+                "level-capacity overflow at step %d — optimizer update "
+                "skipped (reference SinglePointRuntimeError protocol): "
+                "scenes=%s point_counts=%s; widen data.level_cap_ratios "
+                "or the point bucket.",
+                step, list(scenes), counts.tolist(),
+            )
+        if not np.isfinite(loss_val):
+            logger.error(
+                "non-finite train loss at step %d: scenes=%s "
+                "point_counts=%s",
+                step, list(scenes), counts.tolist(),
+            )
+            raise FloatingPointError(
+                f"non-finite train loss at step {step} "
+                f"(scenes={list(scenes)})"
+            )
+
     def train_epoch(self) -> Dict[str, float]:
         cfg = self.cfg
         prof_dir = os.path.join(self.run_dir, "profile")
+        # (step, losses, scenes, counts) awaiting the lagged guard check.
+        pending: deque = deque()
+        check_lag = 2
         for host in _prefetch(
             self._batches("train", cfg.data.batch_size, shuffle=True)
         ):
@@ -205,29 +240,21 @@ class InstanceSegmentationTrainer:
                 jax.block_until_ready(losses["loss"])
                 jax.profiler.stop_trace()
                 logger.info(f"profiler trace written to {prof_dir}")
-            step = int(self.state.step)
+            step = step_now + 1
+            pending.append(
+                (step, losses, host.scenes, np.asarray(host.device.counts))
+            )
+            while len(pending) > check_lag:
+                self._check_step(*pending.popleft())
             if step % cfg.trainer.log_every_n_steps == 0:
                 host_losses = {
                     f"train_{k}": float(v) for k, v in losses.items()
                 }
-                if not np.isfinite(host_losses.get("train_loss", 0.0)):
-                    # Reference failure protocol: dump the batch composition
-                    # before surfacing the error (`trainer.py:184-189`
-                    # RuntimeError path, `trainer.py:224-232` ValueError
-                    # dump of shapes/scenes).
-                    counts = np.asarray(host.device.counts)
-                    logger.error(
-                        "non-finite train loss at step %d: scenes=%s "
-                        "point_counts=%s losses=%s",
-                        step, list(host.scenes), counts.tolist(), host_losses,
-                    )
-                    raise FloatingPointError(
-                        f"non-finite train loss at step {step} "
-                        f"(scenes={list(host.scenes)})"
-                    )
                 meter.add_timing("model_forward_complete")
                 self.metrics.log_step(host_losses, step)
             meter.notify_end_item()
+        while pending:
+            self._check_step(*pending.popleft())
         return self.metrics.log_epoch(self.epoch, int(self.state.step))
 
     def eval_epoch(self, split: str, export: bool = False

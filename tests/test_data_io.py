@@ -134,6 +134,50 @@ def test_augmentations_preserve_alignment(rng):
     assert len(out["points"]) <= 200  # dropout may remove points
 
 
+def test_dropout_keeps_raw_arrays_aligned(tmp_path, rng):
+    """Row-dropping augmentation must subset raw_* by the same rows
+    (regression: raw arrays were truncated by [:len(coords)], shifting
+    every row after a dropped one)."""
+    root = str(tmp_path)
+    d = os.path.join(root, "area_1")
+    os.makedirs(d)
+    n = 300
+    arrays = {
+        "x": rng.integers(0, 60, n).astype(np.int32),
+        "y": rng.integers(0, 60, n).astype(np.int32),
+        "z": rng.integers(0, 20, n).astype(np.int32),
+        "type": np.ones(n, np.int32),
+        # unique instance id per row: a row-identity fingerprint that
+        # rides through augmentation inside `labels`
+        "room_id": np.arange(1, n + 1, dtype=np.int32),
+    }
+    write_ply(os.path.join(d, "point_cloud_rasterized_150.ply"), arrays)
+
+    dropped = False
+    for seed in range(20):
+        ds = S3DISSegmentationDataset(
+            root, mode="train", volume_augmentations="s3dis",
+            augmentation_seed=seed,
+        )
+        item = ds[0]
+        m = len(item["coordinates"])
+        assert len(item["raw_coordinates"]) == m
+        assert len(item["raw_labels"]) == m
+        # raw_labels[i] must be the same row as labels[i]
+        np.testing.assert_array_equal(item["labels"], item["raw_labels"])
+        # raw coords must be the original (untransformed) rows of the
+        # same points: match them through the fingerprint
+        orig_xyz = np.stack(
+            [arrays["x"], arrays["y"], arrays["z"]], axis=1
+        ).astype(np.float32)
+        fingerprint = item["labels"][:, 1] - 1  # room_id -> original row
+        np.testing.assert_array_equal(
+            item["raw_coordinates"], orig_xyz[fingerprint]
+        )
+        dropped |= m < n
+    assert dropped, "no seed exercised random_dropout; test is vacuous"
+
+
 def test_rotation_preserves_distances(rng):
     from mask3d_tpu.data.augment import rotate_around_axis
 

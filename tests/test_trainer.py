@@ -276,3 +276,50 @@ def test_grad_accumulation_matches_full_batch(data_root, tmp_path):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-4
         )
+
+
+def test_capacity_overflow_skips_update(data_root, tmp_path):
+    """A batch whose pyramid levels overflow their capacities must NOT
+    corrupt training: the jitted step reports `batch_overflow` and leaves
+    params/opt_state untouched (the reference skips the batch via
+    SinglePointRuntimeError, `models/mask3d.py:23-26`,
+    `trainer/trainer.py:276-279`)."""
+    import jax
+
+    from mask3d_tpu.data.collate import VoxelizeCollate
+    from mask3d_tpu.data.datasets import DATASETS
+    from mask3d_tpu.train.loop import init_state, make_train_step
+
+    ds = DATASETS["structured3d"](
+        mode="train", data_root=data_root, rasterization_factor=150,
+        volume_augmentations="none",
+    )
+    collate = VoxelizeCollate(point_bucket_multiple=1024, num_queries=6)
+    batch = jax.device_put(collate([ds[0], ds[1]]).device)
+
+    # control: ordinary capacities -> no overflow, params move
+    cfg = small_cfg(data_root, str(tmp_path / "saved_ovf_ctl"))
+    state, model, criterion, tx = init_state(cfg, batch)
+    step = make_train_step(cfg, model, criterion, tx)
+    new_state, losses = step(state, batch)
+    assert int(losses["batch_overflow"]) == 0
+    p0 = jax.tree_util.tree_leaves(state.params)
+    p1 = jax.tree_util.tree_leaves(new_state.params)
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(p0, p1)
+    ), "control step did not update params"
+
+    # overflow: starve the coarse levels -> flag set, update skipped
+    cfg2 = small_cfg(data_root, str(tmp_path / "saved_ovf"))
+    cfg2.data.level_cap_ratios = (0.01, 0.008, 0.008, 0.008)
+    state2, model2, criterion2, tx2 = init_state(cfg2, batch)
+    step2 = make_train_step(cfg2, model2, criterion2, tx2)
+    new2, losses2 = step2(state2, batch)
+    assert int(losses2["batch_overflow"]) > 0
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state2.params),
+        jax.tree_util.tree_leaves(new2.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(new2.step) == int(state2.step) + 1
