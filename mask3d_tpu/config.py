@@ -190,6 +190,17 @@ class TrainerConfig:
     profile_start: int = 5
     # debug: jax_debug_nans (the reference's NaN guards, trainer.py:204)
     debug_nans: bool = False
+    # Compute evaluator metrics (mAP/SDR/...) on the TRAIN split every
+    # step from the train forward's predictions, as the reference does
+    # (`trainer.py:289` — eval_instance_segmentation_step runs in all
+    # splits). Costs host post-processing per train step; disable for
+    # max-throughput runs.
+    train_split_metrics: bool = True
+    # test(): also measure the model_forward_* sub-phase segments of the
+    # measure_runtime contract via prefix-difference timing
+    # (train/loop.py::measure_model_phases; reference
+    # mask3d/utils/measure_runtime.py call sites in models/mask3d.py).
+    measure_model_phases: bool = False
 
 
 @dataclass

@@ -258,6 +258,16 @@ class Mask3D(nn.Module):
         feature_maps = [
             maybe_constrain(f, self.sp_axis) for f in feature_maps
         ]
+        # Phase markers for the measure_runtime contract (reference
+        # `mask3d/utils/measure_runtime.py` call sites at
+        # `models/mask3d.py:282,302,378,494`): tiny reductions sown into
+        # the "intermediates" collection. A prefix-timing runner jits a
+        # function returning only one marker — XLA dead-code-eliminates
+        # later phases, so successive differences give honest per-phase
+        # device times (`train/loop.py::measure_model_phases`). Inert
+        # (no-op) unless "intermediates" is mutable.
+        self.sow("intermediates", "backbone_part1",
+                 jnp.sum(bb_out.astype(jnp.float32)))
         # feature_maps: [s16, s8, s4, s2, s1]; sparse level of fm[i] = 4-i.
         fm_level = [n_levels - 1 - i for i in range(n_levels)]
 
@@ -285,6 +295,8 @@ class Mask3D(nn.Module):
             fused = avg_pool(fused, pool, sb.levels[i + 1].capacity)
             coords_pyr.append(fused[..., :3])
             mask_feats_pyr.append(fused[..., 3:].astype(mask_feats.dtype))
+        self.sow("intermediates", "backbone_part2",
+                 sum(jnp.sum(m.astype(jnp.float32)) for m in mask_feats_pyr))
 
         gauss_b = self.variable(
             "buffers",
@@ -303,6 +315,8 @@ class Mask3D(nn.Module):
             pe_pyr.append(
                 self._pos_enc(coords_pyr[li], mins, maxs, gauss_b)
             )
+        self.sow("intermediates", "pos_enc",
+                 sum(jnp.sum(p.astype(jnp.float32)) for p in pe_pyr))
 
         # --- Query initialization (reference mask3d.py:306-376) ---
         sampled_coords = None
@@ -344,6 +358,10 @@ class Mask3D(nn.Module):
             qpp = self.param("query_pos", nn.initializers.normal(1.0), (Q, D))
             queries = jnp.tile(qf[None], (B, 1, 1))
             query_pos = jnp.tile(qpp[None], (B, 1, 1))
+
+        self.sow("intermediates", "queries",
+                 jnp.sum(queries.astype(jnp.float32))
+                 + jnp.sum(query_pos.astype(jnp.float32)))
 
         if self.use_level_embed:
             level_embed = self.param(
@@ -496,6 +514,8 @@ class Mask3D(nn.Module):
                 predictions_class.append(out_class)
                 if aux_masks:
                     predictions_masks.append(out_masks)
+            self.sow("intermediates", f"decoder_{dec}",
+                     jnp.sum(queries.astype(jnp.float32)))
 
         out_class, out_masks, _ = mask_module(queries, 0, ret_attn=False)
         predictions_class.append(out_class)

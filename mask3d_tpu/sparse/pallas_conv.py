@@ -60,8 +60,11 @@ def _kernel(K, W, bases_ref, idx_ref, ok_ref, w_ref, f_ref, out_ref,
     T = idx_ref.shape[2]
 
     def dma(slot, k):
+        # bf16 dynamic HBM slice: start must be provably 16-divisible
+        # (bf16 sublane tiling; bases pre-aligned by the wrapper).
+        base = pl.multiple_of(bases_ref[b, i, k], 16)
         return pltpu.make_async_copy(
-            f_ref.at[b, pl.ds(bases_ref[b, i, k], W), :],
+            f_ref.at[b, pl.ds(base, W), :],
             fwin.at[slot],
             sem.at[slot],
         )
@@ -146,6 +149,8 @@ def _forward(feats, weight, nbr_idx, nbr_ok, tile, window):
     masked = jnp.where(ok_t, idx_t, n - 1)
     bases = jnp.minimum(jnp.min(masked, axis=2), n - window)
     bases = jnp.maximum(bases, 0).astype(jnp.int32)
+    # bf16 sublane tiling: the kernel asserts 16-divisible DMA starts.
+    bases = bases & ~15
     # Every valid neighbor must fall inside its tile's window, else the
     # premise fails for this input and we take the exact XLA fallback.
     all_hit = jnp.all(

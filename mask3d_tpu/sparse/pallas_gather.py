@@ -34,16 +34,21 @@ def _kernel(W, bases_ref, idx_ref, ok_ref, src_ref, out_ref, win, sem, *,
     b = pl.program_id(0)
     i = pl.program_id(1)
     nt = pl.num_programs(1)
+    step = b * nt + i  # global step: slot parity must be global, not
+    # per-item, or odd-nt items would wait on the wrong buffer slot.
 
     def dma(slot, bi, ti):
-        base = pl.multiple_of(bases_ref[bi, ti], 8)
+        # bf16 dynamic HBM slices compile only with the start provably
+        # divisible by the bf16 sublane tiling (16): bases are pre-aligned
+        # (& ~15) by the wrapper and asserted here via multiple_of.
+        base = pl.multiple_of(bases_ref[bi, ti], 16)
         return pltpu.make_async_copy(
             src_ref.at[bi, pl.ds(base, W), :],
             win.at[slot],
             sem.at[slot],
         )
 
-    @pl.when((b == 0) & (i == 0))
+    @pl.when(step == 0)
     def _start_first():
         dma(0, 0, 0).start()
 
@@ -54,9 +59,9 @@ def _kernel(W, bases_ref, idx_ref, ok_ref, src_ref, out_ref, win, sem, *,
 
     @pl.when(~last)
     def _start_next():
-        dma((i + 1) % 2, nxt_b, nxt_i).start()
+        dma((step + 1) % 2, nxt_b, nxt_i).start()
 
-    slot = i % 2
+    slot = step % 2
     dma(slot, b, i).wait()
     loc = idx_ref[0, 0, :, 0] - bases_ref[b, i]  # [T]
     col = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
@@ -120,9 +125,12 @@ def _forward(src, idx, ok, tile, window):
     masked = jnp.where(ok_t, idx_t, n - 1)
     bases = jnp.minimum(jnp.min(masked, axis=2), n - window)
     bases = jnp.maximum(bases, 0).astype(jnp.int32)
-    # Mosaic requires the dynamic HBM slice start to be divisible by the
-    # sublane tiling (8); aligning down only widens each tile's window.
-    bases = bases & ~7
+    # Mosaic requires the dynamic HBM slice start to be provably divisible
+    # by the bf16 sublane tiling (16): align down (paired with
+    # `pl.multiple_of(..., 16)` in the kernel — measured working on v5e;
+    # 8-alignment is NOT sufficient for bf16). Aligning down only widens
+    # each tile's effective window.
+    bases = bases & ~15
     all_hit = jnp.all(
         jnp.where(ok_t, idx_t - bases[:, :, None] < window, True)
     )
@@ -136,15 +144,6 @@ def _forward(src, idx, ok, tile, window):
         )
         return jnp.where(ok[..., None], rows, 0.0)
 
-    # STATUS: the compiled Mosaic path currently fails on v5e — the
-    # dynamic HBM slice start is not provably divisible by the (8, 128)
-    # sublane tiling even with `pl.multiple_of` + 8-aligned bases
-    # ("Failed to prove that a tile index in dimension 1 is divisible by
-    # the tiling (8)"). Until that is resolved the op takes the exact XLA
-    # gather on TPU; the Pallas branch runs under the interpreter (tests)
-    # so the kernel logic stays verified.
-    if jax.default_backend() == "tpu":
-        return slow(src)
     return jax.lax.cond(all_hit, fast, slow, src)
 
 

@@ -193,6 +193,7 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
     caps = None  # derived per batch capacity (static under jit)
 
     accum = max(1, int(cfg.trainer.grad_accum_steps))
+    return_preds = bool(cfg.trainer.train_split_metrics)
 
     def _grads_for(state, batch, k_sample, k_queries, ce_scale=1.0):
         sb = build_sparse_batch(
@@ -215,9 +216,18 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
             losses = criterion(
                 out, targets, sb.levels[0].valid, ce_scale=ce_scale
             )
-            return losses["loss"], losses
+            # Final predictions ride out of the step for train-split
+            # evaluator metrics (reference `trainer.py:289`: the eval step
+            # runs on the train forward's output in all splits).
+            preds = None
+            if return_preds:
+                preds = (
+                    jax.lax.stop_gradient(out.pred_class),
+                    jax.lax.stop_gradient(out.pred_masks),
+                )
+            return losses["loss"], (losses, preds)
 
-        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (losses, preds) = jax.grad(loss_fn, has_aux=True)(state.params)
         # Level-capacity overflow: a pyramid level dropped voxels (its
         # capacity was exceeded), so this micro-batch's gradient is built
         # on a corrupted structure. Surfaced so train_step can skip the
@@ -226,7 +236,7 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
         # -> `trainer/trainer.py:276-279`).
         losses = dict(losses)
         losses["batch_overflow"] = _batch_overflow(sb)
-        return grads, losses
+        return grads, losses, preds
 
     @jax.jit
     def train_step(state: TrainState, batch: DeviceBatch
@@ -234,7 +244,9 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
         rng, k_sample, k_queries = jax.random.split(state.rng, 3)
 
         if accum == 1:
-            grads, losses = _grads_for(state, batch, k_sample, k_queries)
+            grads, losses, preds = _grads_for(
+                state, batch, k_sample, k_queries
+            )
         else:
             # Gradient accumulation: scan K micro-batches of B/K items —
             # activation memory scales with B/K. Micro gradients are
@@ -257,13 +269,13 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
 
             def micro(carry, xs):
                 mb, k_s, k_q = xs
-                g, l = _grads_for(
+                g, l, p = _grads_for(
                     state, mb, k_s, k_q, ce_scale=1.0 / accum
                 )
                 g_acc, l_acc = carry
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
                 l_acc = jax.tree_util.tree_map(jnp.add, l_acc, l)
-                return (g_acc, l_acc), None
+                return (g_acc, l_acc), p
 
             zero_g = jax.tree_util.tree_map(
                 jnp.zeros_like, state.params
@@ -277,9 +289,14 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
                     lambda: _grads_for(state, ex_mb, ks[0], kq[0])[1]
                 ),
             )
-            (grads, losses), _ = jax.lax.scan(
+            (grads, losses), preds = jax.lax.scan(
                 micro, (zero_g, zero_l), (micro_batches, ks, kq)
             )
+            if return_preds:
+                # un-scan: [K, B/K, ...] -> [B, ...]
+                preds = jax.tree_util.tree_map(
+                    lambda x: x.reshape((b,) + x.shape[2:]), preds
+                )
             # Reported dict: CE entries are batch means (divide the summed
             # chunk means by K); mask/dice entries and the total are sums.
             losses = {
@@ -307,9 +324,73 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
             opt_state=keep_old(opt_state, state.opt_state),
             rng=rng,
         )
-        return new_state, losses
+        return new_state, losses, preds
 
     return train_step
+
+
+def measure_model_phases(cfg: Config, model: Mask3D, state: TrainState,
+                         batch: DeviceBatch, reps: int = 3) -> Dict[str, float]:
+    """Per-phase forward timings for the measure_runtime contract.
+
+    The reference times model sub-phases with host clocks between
+    sequential CUDA calls (`mask3d/utils/measure_runtime.py:76-100`, call
+    sites `models/mask3d.py:282,302,378,494,504`). Here one XLA executable
+    runs the whole forward, so phase boundaries are measured by PREFIX
+    differences: for each sown phase marker (see `models/mask3d.py`), jit a
+    function that returns only that marker — XLA dead-code-eliminates all
+    later phases — fence it with `jax.device_get`, and report successive
+    differences. Results are recorded into `utils.meter` under the
+    reference's `model_forward_*` segment names.
+    """
+    import time
+
+    from mask3d_tpu.utils import meter
+
+    caps = level_capacities(cfg, batch.coords.shape[1])
+    kw = _sb_kwargs(cfg, batch.grid_dims)
+    phase_names = ["backbone_part1", "backbone_part2", "pos_enc", "queries"]
+    phase_names += [f"decoder_{d}" for d in range(model.num_decoders)]
+
+    def prefix_fn(phase):
+        @jax.jit
+        def f(params, buffers, coords, counts, dims, feats):
+            sb = build_sparse_batch(coords, counts, dims, caps, **kw)
+            raw = coords.astype(jnp.float32)
+            if phase == "sparse_context_build":
+                return sum(jnp.sum(lv.key) for lv in sb.levels)
+            out, inter = model.apply(
+                {"params": params, "buffers": buffers},
+                sb, feats, raw, True, grid_dims=batch.grid_dims,
+                mutable=["intermediates"],
+            )
+            if phase == "final_mask_module":
+                return (jnp.sum(out.pred_class)
+                        + jnp.sum(out.pred_masks.astype(jnp.float32)))
+            return inter["intermediates"][phase][0]
+        return f
+
+    args = (state.params, state.buffers, batch.coords, batch.counts,
+            batch.dims, batch.feats)
+    cum = {}
+    for phase in (["sparse_context_build"] + phase_names
+                  + ["final_mask_module"]):
+        f = prefix_fn(phase)
+        jax.device_get(f(*args))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = f(*args)
+        jax.device_get(r)
+        cum[phase] = (time.perf_counter() - t0) / reps
+
+    segs = {}
+    prev = "sparse_context_build"
+    meter.record("sparse_context_build", cum[prev])
+    for phase in phase_names + ["final_mask_module"]:
+        segs[f"model_forward_{phase}"] = max(0.0, cum[phase] - cum[prev])
+        meter.record(f"model_forward_{phase}", segs[f"model_forward_{phase}"])
+        prev = phase
+    return segs
 
 
 def make_eval_step(cfg: Config, model: Mask3D, criterion: SetCriterion

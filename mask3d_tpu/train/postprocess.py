@@ -121,25 +121,43 @@ def postprocess_item(
     iou_threshold: float = 1.0,
     topk_per_image: int = -1,
     prediction_label_ids: Optional[np.ndarray] = None,
+    measure: bool = False,
 ) -> dict:
     """Full per-item pipeline -> evaluator-ready prediction dict.
 
     `prediction_label_ids` maps class indices to dataset label ids
     (reference `change_semantic_label_idxs_to_ids`,
     `semseg_structured3d.py:260-268`; default identity + 1 for `is_room`).
+
+    `measure=True` records the reference's per-stage eval segments
+    (`mask3d/trainer/trainer.py:425-559` add_timing call sites) into
+    `utils.meter`; only valid when items run sequentially (the reference
+    measures with test_batch_size=1).
     """
+    if measure:
+        from mask3d_tpu.utils import meter
+
+        mark = meter.add_timing
+    else:
+        def mark(_name):
+            return None
+
     probs = softmax_excl_ignore(pred_class)
+    mark("eval_prep")
     masks_logits = pred_masks
     if use_dbscan:
         masks_logits = dbscan_filter_masks(
             masks_logits, coords, dbscan_eps, dbscan_min_points
         )
+        mark("eval_dbscan")
     scores, masks, classes, heatmap = get_mask_and_scores(
         probs, masks_logits, topk_per_image
     )
+    mark("eval_get_mask_and_scores")
     classes, masks, scores, heatmap = sort_by_score(
         scores, masks, classes, heatmap
     )
+    mark("eval_sort_predictions_by_score")
     if filter_out_instances:
         kept = filter_instances(
             masks, scores, scores_threshold, iou_threshold
@@ -147,6 +165,7 @@ def postprocess_item(
         classes = classes[kept]
         masks = masks[:, kept]
         scores = scores[kept]
+        mark("eval_filter_out_instances")
     if prediction_label_ids is None:
         label_ids = classes + 1  # is_room: idx 0 -> id 1
     else:

@@ -185,6 +185,57 @@ class InstanceSegmentationTrainer:
 
     # ------------------------------------------------------------------ #
 
+    def _postprocess_batch(self, host, pred_class, pred_masks,
+                           measure: bool = False):
+        """Host post-processing fan-out + target extraction for one batch:
+        returns (pred_dicts, target_dicts) ready for the evaluator."""
+        cfg = self.cfg
+        counts = np.asarray(host.device.counts)
+        n_items = len(host.scenes)
+
+        def _post(b, measure=False):
+            n = counts[b]
+            return postprocess_item(
+                pred_class[b],
+                pred_masks[b, :n],
+                host.raw_coords[b, :n],
+                host.scenes[b],
+                use_dbscan=cfg.general.use_dbscan,
+                dbscan_eps=cfg.general.dbscan_eps,
+                dbscan_min_points=cfg.general.dbscan_min_points,
+                filter_out_instances=cfg.general.filter_out_instances,
+                scores_threshold=cfg.general.scores_threshold,
+                iou_threshold=cfg.general.iou_threshold,
+                topk_per_image=cfg.general.topk_per_image,
+                measure=measure,
+            )
+
+        # Per-item post-processing in a thread pool (the reference uses
+        # a spawn multiprocessing pool for DBSCAN, trainer.py:447-455;
+        # sklearn's DBSCAN releases the GIL in its C core). Sequential
+        # (batch-size-1) runs record the reference's per-stage eval
+        # segments (the reference also measures at test_batch_size=1).
+        if n_items > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(n_items, 8)) as ex:
+                preds = list(ex.map(_post, range(n_items)))
+        else:
+            preds = [_post(0, measure=measure)]
+        targets = []
+        for b in range(n_items):
+            n = counts[b]
+            tv = np.asarray(host.device.target.valid[b])
+            targets.append(
+                {
+                    "labels": np.asarray(host.device.target.labels[b])[tv],
+                    "masks": np.asarray(
+                        host.device.target.masks[b]
+                    )[tv][:, :n],
+                }
+            )
+        return preds, targets
+
     def _check_step(self, step: int, losses, scenes, counts) -> None:
         """Per-step guards, evaluated at a small lag so the scalar fetch
         does not stall the dispatch pipeline.
@@ -231,7 +282,7 @@ class InstanceSegmentationTrainer:
             meter.notify_start_item()
             batch = self._to_device(host)
             meter.add_timing("data_preparation")
-            self.state, losses = self.train_step(self.state, batch)
+            self.state, losses, preds = self.train_step(self.state, batch)
             if (
                 cfg.trainer.profile_steps
                 and step_now
@@ -246,12 +297,26 @@ class InstanceSegmentationTrainer:
             )
             while len(pending) > check_lag:
                 self._check_step(*pending.popleft())
+            if cfg.trainer.train_split_metrics and preds is not None:
+                # Evaluator metrics on the train forward's predictions,
+                # every step (reference trainer.py:289 — the eval step runs
+                # in all splits, aggregated per epoch via log_dict).
+                pd, tg = self._postprocess_batch(
+                    host, np.asarray(preds[0]), np.asarray(preds[1])
+                )
+                m = self.evaluator.evaluate(pd, tg, "train")
+                m.pop("train_classes", None)
+                self.metrics.log_step(
+                    {k: float(v) for k, v in m.items()}, step
+                )
             if step % cfg.trainer.log_every_n_steps == 0:
                 host_losses = {
                     f"train_{k}": float(v) for k, v in losses.items()
                 }
                 meter.add_timing("model_forward_complete")
+                meter.add_timing("logging_prep")
                 self.metrics.log_step(host_losses, step)
+                meter.add_timing("logging")
             meter.notify_end_item()
         while pending:
             self._check_step(*pending.popleft())
@@ -280,50 +345,12 @@ class InstanceSegmentationTrainer:
             meter.add_timing("model_forward_complete")
             for k, v in losses.items():
                 loss_acc.setdefault(f"{prefix}_{k}", []).append(float(v))
+            meter.add_timing("loss_calculation")
 
             counts = np.asarray(host.device.counts)
-
-            def _post(b):
-                n = counts[b]
-                return postprocess_item(
-                    pred_class[b],
-                    pred_masks[b, :n],
-                    host.raw_coords[b, :n],
-                    host.scenes[b],
-                    use_dbscan=cfg.general.use_dbscan,
-                    dbscan_eps=cfg.general.dbscan_eps,
-                    dbscan_min_points=cfg.general.dbscan_min_points,
-                    filter_out_instances=cfg.general.filter_out_instances,
-                    scores_threshold=cfg.general.scores_threshold,
-                    iou_threshold=cfg.general.iou_threshold,
-                    topk_per_image=cfg.general.topk_per_image,
-                )
-
-            # Per-item post-processing in a thread pool (the reference uses
-            # a spawn multiprocessing pool for DBSCAN, trainer.py:447-455;
-            # sklearn's DBSCAN releases the GIL in its C core).
-            n_items = len(host.scenes)
-            if n_items > 1:
-                from concurrent.futures import ThreadPoolExecutor
-
-                with ThreadPoolExecutor(max_workers=min(n_items, 8)) as ex:
-                    preds = list(ex.map(_post, range(n_items)))
-            else:
-                preds = [_post(0)]
-            targets = []
-            for b in range(len(host.scenes)):
-                n = counts[b]
-                tv = np.asarray(host.device.target.valid[b])
-                targets.append(
-                    {
-                        "labels": np.asarray(
-                            host.device.target.labels[b]
-                        )[tv],
-                        "masks": np.asarray(
-                            host.device.target.masks[b]
-                        )[tv][:, :n],
-                    }
-                )
+            preds, targets = self._postprocess_batch(
+                host, pred_class, pred_masks, measure=True
+            )
             meter.add_timing("eval_postprocess")
             m = self.evaluator.evaluate(preds, targets, prefix)
             m.pop(f"{prefix}_classes", None)
@@ -405,6 +432,20 @@ class InstanceSegmentationTrainer:
 
     def test(self) -> Dict[str, float]:
         meter.reset()
+        if self.cfg.trainer.measure_model_phases:
+            # model_forward_* sub-phase segments (prefix-difference timing,
+            # see train/loop.py::measure_model_phases) on one test batch.
+            from mask3d_tpu.train.loop import measure_model_phases
+
+            bs = (
+                self.cfg.data.test_batch_size
+                if self.cfg.data.test_batch_size > 0
+                else self.cfg.data.batch_size
+            )
+            host = next(iter(self._batches("test", bs, shuffle=False)))
+            measure_model_phases(
+                self.cfg, self.model, self.state, self._to_device(host)
+            )
         metrics = self.eval_epoch("test", export=True)
         meter.log_final_statistics()
         if self.cfg.general.debug_best_worst_scenes:

@@ -54,6 +54,14 @@ def notify_end_item():
     _last_mark = None
 
 
+def record(name: str, seconds: float):
+    """Record an externally measured duration under `name` (used by the
+    prefix-difference model-phase timer, which cannot use the running
+    mark because phases are measured by re-running jitted prefixes)."""
+    if _enabled:
+        _timings.setdefault(name, []).append(seconds)
+
+
 def get_statistics() -> Dict[str, dict]:
     import numpy as np
 

@@ -60,11 +60,11 @@ def test_overfit_and_eval(batch):
     state, model, criterion, tx = init_state(cfg, batch.device)
     train_step = make_train_step(cfg, model, criterion, tx)
 
-    state, first = train_step(state, batch.device)
+    state, first, _ = train_step(state, batch.device)
     first_loss = float(first["loss"])
     losses = None
     for _ in range(60):
-        state, losses = train_step(state, batch.device)
+        state, losses, _ = train_step(state, batch.device)
     final_loss = float(losses["loss"])
     assert np.isfinite(final_loss)
     assert final_loss < 0.6 * first_loss, (first_loss, final_loss)
@@ -118,12 +118,12 @@ def test_train_step_data_parallel(batch):
     state, model, criterion, tx = init_state(cfg, batch.device)
     train_step = make_train_step(cfg, model, criterion, tx)
 
-    _, ref_losses = train_step(state, batch.device)
+    _, ref_losses, _p = train_step(state, batch.device)
 
     mesh = make_mesh(2)
     sharded = shard_batch(batch.device, mesh)
     rep_state = replicate(state, mesh)
-    _, dp_losses = train_step(rep_state, sharded)
+    _, dp_losses, _p = train_step(rep_state, sharded)
     np.testing.assert_allclose(
         float(dp_losses["loss"]), float(ref_losses["loss"]), rtol=1e-4
     )
@@ -137,7 +137,7 @@ def test_bf16_eval_metrics_match_fp32(batch):
     state, model, criterion, tx = init_state(cfg, batch.device)
     train_step = make_train_step(cfg, model, criterion, tx)
     for _ in range(50):
-        state, _ = train_step(state, batch.device)
+        state, _l, _p = train_step(state, batch.device)
 
     counts = np.asarray(batch.device.counts)
     results = {}

@@ -181,7 +181,7 @@ def test_dp_sp_train_step_runs():
     with jax.sharding.set_mesh(mesh):
         sharded = shard_batch(batch, mesh)
         rep_state = replicate(state, mesh)
-        new_state, losses = train_step(rep_state, sharded)
+        new_state, losses, _ = train_step(rep_state, sharded)
         loss = float(losses["loss"])
     assert np.isfinite(loss)
     assert int(new_state.step) == 1

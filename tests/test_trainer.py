@@ -158,7 +158,7 @@ def test_remat_backbone_matches_no_remat(data_root, tmp_path):
         cfg.model.remat_backbone = remat
         state, model, criterion, tx = init_state(cfg, batch)
         step = make_train_step(cfg, model, criterion, tx)
-        new_state, out = step(state, batch)
+        new_state, out, _ = step(state, batch)
         losses[remat] = float(out["loss"])
         params[remat] = new_state.params
 
@@ -187,9 +187,9 @@ def test_nonfinite_loss_guard(data_root, tmp_path):
     real_step = trainer.train_step
 
     def poisoned_step(state, batch):
-        new_state, losses = real_step(state, batch)
+        new_state, losses, preds = real_step(state, batch)
         losses = dict(losses, loss=losses["loss"] * jnp.nan)
-        return new_state, losses
+        return new_state, losses, preds
 
     trainer.train_step = poisoned_step
     with pytest.raises(FloatingPointError, match="non-finite train loss"):
@@ -223,7 +223,7 @@ def test_training_determinism(data_root, tmp_path):
         step = make_train_step(cfg, model, criterion, tx)
         losses = []
         for _ in range(2):
-            state, out = step(state, batch)
+            state, out, _ = step(state, batch)
             losses.append(float(out["loss"]))
         results.append((losses, jax.tree_util.tree_leaves(state.params)))
 
@@ -261,7 +261,7 @@ def test_grad_accumulation_matches_full_batch(data_root, tmp_path):
         cfg.trainer.grad_accum_steps = accum
         state, model, criterion, tx = init_state(cfg, batch)
         step = make_train_step(cfg, model, criterion, tx)
-        new_state, out = step(state, batch)
+        new_state, out, _ = step(state, batch)
         losses[accum] = float(out["loss"])
         params[accum] = jax.tree_util.tree_leaves(new_state.params)
 
@@ -301,7 +301,7 @@ def test_capacity_overflow_skips_update(data_root, tmp_path):
     cfg = small_cfg(data_root, str(tmp_path / "saved_ovf_ctl"))
     state, model, criterion, tx = init_state(cfg, batch)
     step = make_train_step(cfg, model, criterion, tx)
-    new_state, losses = step(state, batch)
+    new_state, losses, _ = step(state, batch)
     assert int(losses["batch_overflow"]) == 0
     p0 = jax.tree_util.tree_leaves(state.params)
     p1 = jax.tree_util.tree_leaves(new_state.params)
@@ -315,7 +315,7 @@ def test_capacity_overflow_skips_update(data_root, tmp_path):
     cfg2.data.level_cap_ratios = (0.01, 0.008, 0.008, 0.008)
     state2, model2, criterion2, tx2 = init_state(cfg2, batch)
     step2 = make_train_step(cfg2, model2, criterion2, tx2)
-    new2, losses2 = step2(state2, batch)
+    new2, losses2, _ = step2(state2, batch)
     assert int(losses2["batch_overflow"]) > 0
     for a, b in zip(
         jax.tree_util.tree_leaves(state2.params),
@@ -323,3 +323,46 @@ def test_capacity_overflow_skips_update(data_root, tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(new2.step) == int(state2.step) + 1
+
+
+def test_measure_runtime_segment_contract(data_root, tmp_path):
+    """test() with measure_model_phases produces the reference's
+    measure_runtime segment names (SURVEY §6: `mask3d/utils/
+    measure_runtime.py` + call sites `trainer.py:271-295,425-559`,
+    `models/mask3d.py:282,302,378,494,504`)."""
+    from mask3d_tpu.train.trainer import InstanceSegmentationTrainer
+    from mask3d_tpu.utils import meter
+
+    cfg = small_cfg(data_root, str(tmp_path / "saved_meter"))
+    cfg.trainer.measure_model_phases = True
+    cfg.data.test_batch_size = 1
+    cfg.general.use_dbscan = True
+    cfg.general.filter_out_instances = True
+    trainer = InstanceSegmentationTrainer(cfg)
+    trainer.test()
+    stats = meter.get_statistics()
+    expected = {
+        "data_preparation",
+        "sparse_context_build",
+        "model_forward_backbone_part1",
+        "model_forward_backbone_part2",
+        "model_forward_pos_enc",
+        "model_forward_queries",
+        "model_forward_final_mask_module",
+        "model_forward_complete",
+        "loss_calculation",
+        "eval_prep",
+        "eval_dbscan",
+        "eval_get_mask_and_scores",
+        "eval_sort_predictions_by_score",
+        "eval_filter_out_instances",
+        "eval_postprocess",
+        "eval_metrics_calc",
+    } | {
+        f"model_forward_decoder_{d}" for d in range(cfg.model.num_decoders)
+    }
+    missing = expected - set(stats)
+    assert not missing, f"missing measure_runtime segments: {sorted(missing)}"
+    for name in expected:
+        assert stats[name]["count"] >= 1
+        assert stats[name]["mean"] >= 0.0
