@@ -37,14 +37,23 @@ def main(argv=None):
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
-    command, *overrides = argv
-    assert command in ("train", "test"), f"unknown command {command}"
+    # Two invocation grammars:
+    # - explicit subcommand: `python -m mask3d_tpu.cli train a.b=c ...`
+    # - reference-script style (no subcommand, all args are Hydra
+    #   overrides; `general.train_mode=false` selects test — reference
+    #   `main_instance_segmentation.py:100-113`).
+    if argv[0] in ("train", "test"):
+        command, *overrides = argv
+    else:
+        command, overrides = None, argv
 
     from mask3d_tpu.config import Config, apply_overrides
     from mask3d_tpu.train.trainer import InstanceSegmentationTrainer
 
     cfg = Config()
     apply_overrides(cfg, overrides)
+    if command is None:
+        command = "train" if cfg.general.train_mode else "test"
     cfg.general.train_mode = command == "train"
     seed_everything(cfg.general.seed)
 

@@ -69,6 +69,11 @@ class DataConfig:
     # Which split `test` evaluates: test | train | validation | trainval
     # (reference `data.test_dataset.mode`, experiment5/6 split-eval scripts)
     test_dataset_mode: str = "test"
+    # Which splits train/validation use (the matterport3d dataset group
+    # trains on trainval and validates on the test split — reference
+    # `conf/data/datasets/matterport3d_room_detection.yaml`).
+    train_dataset_mode: str = "train"
+    validation_dataset_mode: str = "validation"
     num_workers: int = 8
     rasterization_factor: int = 150
     prediction_label_offset: int = 1
@@ -247,14 +252,73 @@ def _coerce(value: str, current: Any) -> Any:
     return value
 
 
+# Hydra config-group selections (`group/sub=name`), expanded to plain
+# overrides. Mirrors the reference's `conf/data/datasets/*.yaml` so its
+# experiment launch scripts run verbatim
+# (`mask3d/experiment_launch_scripts/*.sh` pass e.g.
+# `data/datasets=structured3d_room_detection`;
+# `main_instance_segmentation.py:100-113` dispatches on general.train_mode).
+GROUP_SELECTS = {
+    "data/datasets": {
+        # conf/data/datasets/structured3d_room_detection.yaml
+        "structured3d_room_detection": [
+            "data.dataset=structured3d",
+            "data.data_root=/data/Structured3D_class21",
+            "data.volume_augmentations=stru3d",
+            "data.filter_out_classes=[0,17,18,19,21]",
+            "data.filter_out_instance_ids=[-1,0]",
+            "data.valid_scenes_file_path="
+            "/data/structured3d_valid_scenes_class21.txt",
+            "data.train_dataset_mode=train",
+            "data.validation_dataset_mode=validation",
+        ],
+        # conf/data/datasets/s3dis_room_detection.yaml
+        "s3dis_room_detection": [
+            "data.dataset=s3dis",
+            "data.data_root=/data/S3DIS_processed",
+            "data.volume_augmentations=s3dis",
+            "data.filter_out_classes=[]",
+            "data.filter_out_instance_ids=[]",
+            "data.valid_scenes_file_path=null",
+            "data.train_dataset_mode=train",
+            "data.validation_dataset_mode=validation",
+        ],
+        # conf/data/datasets/matterport3d_room_detection.yaml (train on
+        # trainval, validate on the test split — its yaml hardcodes
+        # mode: trainval / test)
+        "matterport3d_room_detection": [
+            "data.dataset=matterport3d",
+            "data.data_root=/data/Matterport3D/preprocessed/v1/scans",
+            "data.volume_augmentations=matterport3d",
+            "data.filter_out_classes=[]",
+            "data.filter_out_instance_ids=[]",
+            "data.valid_scenes_file_path=null",
+            "data.train_dataset_mode=trainval",
+            "data.validation_dataset_mode=test",
+        ],
+    },
+}
+
+
 def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
-    """Apply Hydra-style `a.b.c=value` override strings in place."""
+    """Apply Hydra-style override strings in place: `a.b.c=value` field
+    overrides and `group/sub=name` config-group selections."""
     for ov in overrides:
         ov = ov.strip()
         if not ov or ov.startswith("#"):
             continue
         key, _, value = ov.partition("=")
-        parts = key.strip().split(".")
+        key = key.strip()
+        if "/" in key:
+            group = GROUP_SELECTS.get(key)
+            if group is None:
+                raise KeyError(f"unknown config group: {key}")
+            sel = group.get(value.strip())
+            if sel is None:
+                raise KeyError(f"unknown option {value!r} for group {key}")
+            apply_overrides(cfg, sel)
+            continue
+        parts = key.split(".")
         obj = cfg
         for p in parts[:-1]:
             obj = getattr(obj, p)

@@ -102,12 +102,14 @@ class InstanceSegmentationTrainer:
                 common.pop("valid_scenes_file_path")
             self.datasets = {
                 "train": ds_cls(
-                    mode="train",
+                    mode=cfg.data.train_dataset_mode,
                     volume_augmentations=cfg.data.volume_augmentations,
                     data_fraction=cfg.data.data_fraction,
                     **common,
                 ),
-                "validation": ds_cls(mode="validation", **common),
+                "validation": ds_cls(
+                    mode=cfg.data.validation_dataset_mode, **common
+                ),
                 "test": ds_cls(mode=cfg.data.test_dataset_mode, **common),
             }
 
