@@ -49,20 +49,25 @@ def _kernel(K, W, bases_ref, idx_ref, ok_ref, w_ref, f_ref, out_ref,
             fwin, sem, acc):
     """Grid (B, nT). Per step: T output rows of one item.
 
-    bases_ref: i32[B, nT, K] scalar-prefetch (window starts, clamped so
-    [base, base+W) is in range). idx/ok blocks: [1, 1, T, K] VMEM.
-    w_ref: bf16[K, Cin, Cout] VMEM. f_ref: bf16[B, N, Cin] in HBM/ANY.
-    out block: f32[1, 1, T, Cout]. Scratch: fwin bf16[2, W, Cin], DMA
-    semaphores [2], acc f32[T, Cout].
+    bases_ref: i32[B * nT * K] scalar-prefetch, FLAT (window starts,
+    clamped so [base, base+W) is in range). Flat on purpose: a [B, nT, K]
+    scalar-prefetch operand is lane-padded K->128 in SMEM (1 MB — overflows
+    the budget on real scene shapes); the 1-D layout stays at 4*B*nT*K
+    bytes. idx/ok blocks: [1, 1, T, K] VMEM. w_ref: bf16[K, Cin, Cout]
+    VMEM. f_ref: bf16[B, N, Cin] in HBM/ANY. out block: f32[1, 1, T,
+    Cout]. Scratch: fwin bf16[2, W, Cin], DMA semaphores [2], acc f32[T,
+    Cout].
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nt = pl.num_programs(1)
     T = idx_ref.shape[2]
+    tile_off = (b * nt + i) * K
 
     def dma(slot, k):
         # bf16 dynamic HBM slice: start must be provably 16-divisible
         # (bf16 sublane tiling; bases pre-aligned by the wrapper).
-        base = pl.multiple_of(bases_ref[b, i, k], 16)
+        base = pl.multiple_of(bases_ref[tile_off + k], 16)
         return pltpu.make_async_copy(
             f_ref.at[b, pl.ds(base, W), :],
             fwin.at[slot],
@@ -77,7 +82,7 @@ def _kernel(K, W, bases_ref, idx_ref, ok_ref, w_ref, f_ref, out_ref,
         if k + 1 < K:
             dma((k + 1) % 2, k + 1).start()
         dma(slot, k).wait()
-        loc = idx_ref[0, 0, :, k] - bases_ref[b, i, k]
+        loc = idx_ref[0, 0, :, k] - bases_ref[tile_off + k]
         sel = (col == loc[:, None]) & ok_ref[0, 0, :, k][:, None]
         s = sel.astype(jnp.bfloat16)
         g = jnp.dot(s, fwin[slot], preferred_element_type=jnp.float32)
@@ -128,7 +133,7 @@ def _pallas_branch(feats, weight, idx_t, ok_t, bases, tile, window):
             transcendentals=0,
         ),
     )(
-        bases,
+        bases.reshape(-1),  # flat: avoids K->128 SMEM lane padding
         idx_t.reshape(b, nt, tile, k),
         ok_t.reshape(b, nt, tile, k),
         weight.astype(jnp.bfloat16),
@@ -158,6 +163,14 @@ def _forward(feats, weight, nbr_idx, nbr_ok, tile, window):
     )
 
     def fast(f, w):
+        # Mosaic requires HBM DMA slices to span full 128-lane tiles: pad
+        # Cin to a multiple of 128 on both feats and weight (zeros; the
+        # extra input channels contribute exactly 0).
+        cin = f.shape[-1]
+        c_pad = (-cin) % 128
+        if c_pad:
+            f = jnp.pad(f, ((0, 0), (0, 0), (0, c_pad)))
+            w = jnp.pad(w, ((0, 0), (0, c_pad), (0, 0)))
         return _pallas_branch(
             f, w, nbr_idx, nbr_ok, bases, tile, window
         )

@@ -136,7 +136,15 @@ def _forward(src, idx, ok, tile, window):
     )
 
     def fast(s):
-        return _pallas_branch(s, idx, ok, bases, tile, window)
+        # Mosaic requires HBM DMA slices to span full 128-lane tiles:
+        # pad the channel dim to a multiple of 128 (zeros; exact) and
+        # strip it from the output.
+        c = s.shape[-1]
+        c_pad = (-c) % 128
+        if c_pad:
+            s = jnp.pad(s, ((0, 0), (0, 0), (0, c_pad)))
+        out = _pallas_branch(s, idx, ok, bases, tile, window)
+        return out[..., :c] if c_pad else out
 
     def slow(s):
         rows = jnp.take_along_axis(
