@@ -348,6 +348,16 @@ class InstanceSegmentationTrainer:
             for k, v in losses.items():
                 loss_acc.setdefault(f"{prefix}_{k}", []).append(float(v))
             meter.add_timing("loss_calculation")
+            if loss_acc.get(f"{prefix}_batch_overflow", [0.0])[-1] > 0:
+                # Dense-path predictions built on clamped pyramid levels
+                # are silently degraded (coarse occupancy marks cells whose
+                # rows were dropped): make it loud.
+                logger.warning(
+                    "level-capacity overflow in %s batch (scenes=%s): "
+                    "metrics for this batch are unreliable; widen "
+                    "data.level_cap_ratios.",
+                    split, list(host.scenes),
+                )
 
             counts = np.asarray(host.device.counts)
             preds, targets = self._postprocess_batch(
