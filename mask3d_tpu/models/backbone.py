@@ -322,8 +322,8 @@ class Res16UNetBase(nn.Module):
         return x
 
     @nn.compact
-    def __call__(self, feats, sb: SparseBatch, grid_dims=None
-                 ) -> Tuple[Any, list]:
+    def __call__(self, feats, sb: SparseBatch, grid_dims=None,
+                 return_grid: bool = False) -> Tuple[Any, ...]:
         p = self.PLANES
         lay = self.LAYERS
         k0 = self.conv1_kernel_size ** 3
@@ -393,6 +393,13 @@ class Res16UNetBase(nn.Module):
         out_rows = ctx.rows(out, 0)
         feature_maps.append(out_rows)  # stride 1
 
+        if return_grid:
+            # Dense impl: also expose the final level-0 GRID so the caller
+            # can run grid-space pooling chains (models/mask3d.py pooled
+            # pyramid) without re-scattering rows. None on the gather path.
+            return out_rows, feature_maps, (
+                out if self.impl == "dense" else None
+            )
         return out_rows, feature_maps
 
 

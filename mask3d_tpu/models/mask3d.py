@@ -245,7 +245,7 @@ class Mask3D(nn.Module):
             # live (the TPU answer to the reference's per-step
             # `torch.cuda.empty_cache()` OOM workaround, `trainer.py:304-308`
             # — trades ~1/3 more FLOPs for O(depth) less HBM at batch 16).
-            backbone_cls = nn.remat(backbone_cls, static_argnums=(3,))
+            backbone_cls = nn.remat(backbone_cls, static_argnums=(3, 4))
         backbone = backbone_cls(
             in_channels=self.in_channels,
             conv1_kernel_size=self.conv1_kernel_size,
@@ -254,7 +254,9 @@ class Mask3D(nn.Module):
             sp_axis=self.sp_axis,
             name="backbone",
         )
-        bb_out, feature_maps = backbone(feats, sb, grid_dims)
+        bb_out, feature_maps, bb_grid = backbone(
+            feats, sb, grid_dims, True
+        )
         feature_maps = [
             maybe_constrain(f, self.sp_axis) for f in feature_maps
         ]
@@ -273,13 +275,14 @@ class Mask3D(nn.Module):
 
         # --- Coordinate pyramid (reference mask3d.py:286-299) ---
         # Built TOGETHER with the pooled mask-feature pyramid further below:
-        # segment ops cost per ROW, not per channel (measured identical time
+        # pooling costs per ROW, not per channel (measured identical time
         # for 3 and 128 columns), so the two pooling chains are fused into
-        # one avg_pool over the concatenation and split per level.
+        # one mean-pool over the concatenation and split per level.
         coords_pyr = [jax.lax.stop_gradient(raw_coords.astype(jnp.float32))]
 
         # --- Mask features head (reference mask3d.py:129-136,303) ---
-        mask_feats = nn.Dense(D, name="mask_features_head")(bb_out)
+        mask_head = nn.Dense(D, name="mask_features_head")
+        mask_feats = mask_head(bb_out)
         mask_feats = jnp.where(sb.levels[0].valid[..., None], mask_feats, 0)
         mask_feats = maybe_constrain(mask_feats, self.sp_axis)
 
@@ -288,13 +291,62 @@ class Mask3D(nn.Module):
         # ONCE replaces the reference's per-iteration pooling chains of
         # full-resolution mask logits (`mask3d.py:546-547`), exactly.
         mask_feats_pyr = [jax.lax.stop_gradient(mask_feats)]
-        fused = jnp.concatenate(
-            [coords_pyr[0], mask_feats_pyr[0].astype(jnp.float32)], axis=-1
-        )
-        for i, pool in enumerate(sb.pools):
-            fused = avg_pool(fused, pool, sb.levels[i + 1].capacity)
-            coords_pyr.append(fused[..., :3])
-            mask_feats_pyr.append(fused[..., 3:].astype(mask_feats.dtype))
+        if bb_grid is not None:
+            # Dense path: pool on the grids (reduce_window) instead of
+            # row-space segment sums. The mask-features head is LINEAR, so
+            # mean-pool(head(x)) == head(mean-pool(x)): pool the backbone's
+            # existing 96-ch grid in its own (bf16 at inference) dtype and
+            # apply the head per coarse ROW afterwards — pooling a fused
+            # f32 [coords | head(grid)] concat instead was measured ~55 ms
+            # SLOWER per forward on v5e (1.8 GB of extra f32 HBM traffic at
+            # flagship grids). The whole chain is stop-gradient (PE inputs
+            # + attn masks only, matching the row path), so no backward
+            # cost.
+            from mask3d_tpu.parallel.mesh import sp_min_per_shard
+            from mask3d_tpu.sparse import dense_ops
+
+            occ_pyr = (
+                sb.occ if len(sb.occ) == n_levels
+                else tuple(
+                    dense_ops.occupancy(sb.levels[li], grid_dims[li])
+                    for li in range(n_levels)
+                )
+            )
+            occ0 = occ_pyr[0].astype(jnp.float32)
+            coord_grid = dense_ops.cell_coord_grid(grid_dims[0], B) * occ0
+            # bb_grid is already zero at unoccupied cells: every dense op
+            # in the backbone re-masks with the occupancy grid.
+            grids = [
+                jax.lax.stop_gradient(coord_grid),
+                jax.lax.stop_gradient(bb_grid),
+            ]
+
+            def _constrain_grid(g, li):
+                return maybe_constrain(
+                    g, self.sp_axis,
+                    shard_seq=sp_min_per_shard(
+                        int(grid_dims[li][0]), self.sp_axis
+                    ),
+                )
+
+            for crow, brow in dense_ops.pooled_row_pyramid(
+                grids, occ_pyr, sb.levels, grid_dims,
+                constrain=_constrain_grid,
+            ):
+                coords_pyr.append(maybe_constrain(crow, self.sp_axis))
+                mf = jax.lax.stop_gradient(
+                    mask_head(brow).astype(mask_feats.dtype)
+                )
+                mask_feats_pyr.append(maybe_constrain(mf, self.sp_axis))
+        else:
+            fused = jnp.concatenate(
+                [coords_pyr[0], mask_feats_pyr[0].astype(jnp.float32)],
+                axis=-1,
+            )
+            for i, pool in enumerate(sb.pools):
+                fused = avg_pool(fused, pool, sb.levels[i + 1].capacity)
+                coords_pyr.append(fused[..., :3])
+                mask_feats_pyr.append(fused[..., 3:].astype(mask_feats.dtype))
         self.sow("intermediates", "backbone_part2",
                  sum(jnp.sum(m.astype(jnp.float32)) for m in mask_feats_pyr))
 

@@ -66,6 +66,7 @@ def build_sparse_batch(
     build_block_maps: bool = True,
     grid_cells: Optional[Sequence[int]] = None,
     grid_dims: Optional[Sequence] = None,
+    build_pool_parents: bool = True,
 ) -> SparseBatch:
     """Build the full sparse context from collated stride-1 voxels.
 
@@ -91,7 +92,8 @@ def build_sparse_batch(
         occ_list = [occupancy(base, grid_dims[0])]
         for li, cap in enumerate(level_capacities):
             coarse, pool, occ_c = downsample_level_dense(
-                levels[-1], grid_dims[li], cap, occ_f=occ_list[-1]
+                levels[-1], grid_dims[li], cap, occ_f=occ_list[-1],
+                with_parent=build_pool_parents,
             )
             levels.append(coarse)
             pools.append(pool)

@@ -204,8 +204,57 @@ def sumpool2(x):
     )
 
 
+def cell_coord_grid(grid_dims, batch: int, dtype=jnp.float32):
+    """[B, Gx, Gy, Gz, 3] grid whose value at each cell is its own (x, y, z)
+    cell index — the dense-grid form of `SparseLevel.coords` rows."""
+    gx, gy, gz = grid_dims
+    cx = jax.lax.broadcasted_iota(dtype, (gx, gy, gz), 0)
+    cy = jax.lax.broadcasted_iota(dtype, (gx, gy, gz), 1)
+    cz = jax.lax.broadcasted_iota(dtype, (gx, gy, gz), 2)
+    g = jnp.stack([cx, cy, cz], axis=-1)
+    return jnp.broadcast_to(g[None], (batch,) + g.shape)
+
+
+def pooled_row_pyramid(grids, occ, levels, grid_dims, constrain=None):
+    """Mean-pooled feature pyramid computed on dense grids.
+
+    Grid-space equivalent of chaining `ops.avg_pool` over PoolMaps
+    (reference: repeated MinkowskiAvgPooling, `mask3d/models/mask3d.py:
+    286-299,546-547`): at each coarser level an occupied cell's value is
+    the occupancy-weighted mean of its occupied children. Yields, per
+    coarser level (`levels[1:]`), the ROW forms of every input grid,
+    gathered at that level's rows.
+
+    `grids`: list of [B, Gx, Gy, Gz, C_j] arrays with zeros at unoccupied
+    cells; each is pooled in f32 but STORED back in its own dtype — the
+    dominant HBM cost is re-reading the level-0 grid, so a bf16 backbone
+    grid stays bf16 (a fused f32 concat of all inputs was measured ~55 ms
+    SLOWER per forward on v5e than the row-space segment-sum chain it
+    replaced; per-grid native-dtype pooling is what wins). `occ`: per-level
+    occupancy grids (`SparseBatch.occ`); unoccupied coarse cells stay zero
+    because all their children are zero.
+    """
+    gs = list(grids)
+    occ_f = occ[0].astype(jnp.float32)
+    out = []
+    for li in range(1, len(levels)):
+        n = jnp.maximum(sumpool2(occ_f), 1.0)
+        pooled = []
+        for g in gs:
+            p = (sumpool2(g.astype(jnp.float32)) / n).astype(g.dtype)
+            if constrain is not None:
+                p = constrain(p, li)
+            pooled.append(p)
+        gs = pooled
+        occ_f = occ[li].astype(jnp.float32)
+        out.append([
+            gather_rows(g, levels[li], grid_dims[li]) for g in gs
+        ])
+    return out
+
+
 def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int,
-                           occ_f=None):
+                           occ_f=None, with_parent: bool = True):
     """Dense-grid construction of the stride-2 coarse level + PoolMap.
 
     Replaces the argsort-based `core.downsample_level` when static grid dims
@@ -218,6 +267,11 @@ def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int,
     dense occupancy as `occ_f` to reuse it (the row scatter costs ~2.4 ms
     per call at stride 1 on v5e; the chain occ -> maxpool -> occ shares it
     with the backbone via `SparseBatch.occ`).
+
+    `with_parent=False` skips the per-fine-row parent/kidx lookup (a row
+    gather, ~8 ms/forward across levels on v5e) and leaves those PoolMap
+    fields None — the dense execution path pools on grids and never reads
+    them (`models/mask3d.py` pooled pyramid); the gather path needs them.
     """
     from mask3d_tpu.sparse.core import INT32_MAX, pack_keys
 
@@ -269,20 +323,22 @@ def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int,
         valid_c, pack_keys(coords_c, dims_c[:, None, :]), INT32_MAX
     )
 
-    # Parent row per fine row: gather the coarse position grid at each fine
-    # row's parent cell.
-    pc = level.coords >> 1
-    pcell = (pc[..., 0] * cgy + pc[..., 1]) * cgz + pc[..., 2]
-    pcell = jnp.where(level.valid, pcell, 0)
-    parent_pos = jnp.take_along_axis(pos, pcell, axis=1)
-    parent = jnp.where(
-        level.valid & (parent_pos < capacity), parent_pos, capacity
-    )
-    kidx = (
-        (level.coords[..., 0] & 1) * 4
-        + (level.coords[..., 1] & 1) * 2
-        + (level.coords[..., 2] & 1)
-    )
+    parent = kidx = None
+    if with_parent:
+        # Parent row per fine row: gather the coarse position grid at each
+        # fine row's parent cell.
+        pc = level.coords >> 1
+        pcell = (pc[..., 0] * cgy + pc[..., 1]) * cgz + pc[..., 2]
+        pcell = jnp.where(level.valid, pcell, 0)
+        parent_pos = jnp.take_along_axis(pos, pcell, axis=1)
+        parent = jnp.where(
+            level.valid & (parent_pos < capacity), parent_pos, capacity
+        )
+        kidx = (
+            (level.coords[..., 0] & 1) * 4
+            + (level.coords[..., 1] & 1) * 2
+            + (level.coords[..., 2] & 1)
+        )
 
     coarse = SparseLevel(
         key=key_c, coords=coords_c, valid=valid_c,

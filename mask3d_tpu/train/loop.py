@@ -129,6 +129,10 @@ def _sb_kwargs(cfg: Config, batch_grid_dims):
             grid_dims=batch_grid_dims,
             build_block_maps=False,
             conv1_kernel_size=None,
+            # The dense path pools on grids (models/mask3d.py pooled
+            # pyramid) and never reads PoolMap.parent/kidx — skip their
+            # per-row gathers (~8 ms/forward on v5e).
+            build_pool_parents=False,
         )
     return dict(
         grid_dims=batch_grid_dims,

@@ -199,6 +199,55 @@ def test_dense_pyramid_overflow_flag(rng):
     assert np.asarray(pool_d.overflow).all()
 
 
+def test_pooled_row_pyramid_matches_avg_pool_chain(rng):
+    """Grid-space mean-pool pyramid == row-space avg_pool-over-PoolMap chain
+    (the dense model path vs the gather model path, models/mask3d.py)."""
+    from mask3d_tpu.sparse.ops import avg_pool
+
+    level, _ = make_batch(rng, num_items=2, dims=(16, 16, 16), max_pts=200,
+                          capacity=256)
+    grid_dims = tuple((16 >> l, 16 >> l, 16 >> l) for l in range(5))
+    caps = [256, 128, 64, 32]
+    sb = build_sparse_batch(
+        level.coords, level.count, level.dims, level_capacities=caps,
+        conv1_kernel_size=None, build_block_maps=False, grid_dims=grid_dims,
+    )
+    assert not any(np.asarray(p.overflow).any() for p in sb.pools)
+
+    feats = rng.normal(size=(2, 256, 7)).astype(np.float32)
+    feats[~np.asarray(sb.levels[0].valid)] = 0
+    coords_f = np.asarray(sb.levels[0].coords, np.float32)
+    coords_f[~np.asarray(sb.levels[0].valid)] = 0
+
+    # Row-space chain (gather path).
+    fused = jnp.concatenate([jnp.asarray(coords_f), jnp.asarray(feats)], -1)
+    rows_ref = []
+    x = fused
+    for i, pool in enumerate(sb.pools):
+        x = avg_pool(x, pool, sb.levels[i + 1].capacity)
+        rows_ref.append(x)
+
+    # Grid-space chain (dense path).
+    cgrid = dense_ops.cell_coord_grid(grid_dims[0], 2)
+    cgrid = cgrid * dense_ops.occupancy(sb.levels[0], grid_dims[0])
+    fgrid = dense_ops.scatter_rows(jnp.asarray(feats), sb.levels[0],
+                                   grid_dims[0])
+    got = dense_ops.pooled_row_pyramid(
+        [cgrid, fgrid], sb.occ, sb.levels, grid_dims
+    )
+    assert len(got) == len(rows_ref)
+    for li, ((crow, frow), ref) in enumerate(zip(got, rows_ref), start=1):
+        v = np.asarray(sb.levels[li].valid)
+        np.testing.assert_allclose(
+            np.asarray(crow)[v], np.asarray(ref)[..., :3][v],
+            rtol=1e-5, atol=1e-5, err_msg=f"coords level {li}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(frow)[v], np.asarray(ref)[..., 3:][v],
+            rtol=1e-5, atol=1e-5, err_msg=f"feats level {li}",
+        )
+
+
 def test_dense_conv_same_zfold_matches_direct(rng):
     """z-folded conv (stem fast path) is numerically identical to the
     direct 3D formulation, including bias and k=5 with Cin=1."""

@@ -200,6 +200,49 @@ def test_bottleneck_backbone_and_registry(scene):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_mask3d_dense_matches_gather():
+    """Full Mask3D eval forward: dense execution (grid convs + grid-space
+    pooled pyramid, production `build_pool_parents=False` context) matches
+    the gather execution (row convs + avg_pool chain) on the same params."""
+    rng = np.random.default_rng(11)
+    coords, counts, dims = make_scene_batch(rng, dims=(16, 16, 16))
+    grid_dims = tuple((16 >> s, 16 >> s, 16 >> s) for s in range(5))
+    caps = [128, 64, 32, 16]
+    B, N = coords.shape[:2]
+    feats = jnp.ones((B, N, 1), jnp.float32)
+    raw = jnp.asarray(coords, jnp.float32)
+
+    sb_g = build_sparse_batch(coords, counts, dims, level_capacities=caps,
+                              conv1_kernel_size=3)
+    sb_d = build_sparse_batch(coords, counts, dims, level_capacities=caps,
+                              conv1_kernel_size=None, build_block_maps=False,
+                              grid_dims=grid_dims, build_pool_parents=False)
+
+    mg = Mask3D(**SMALL_KW, backbone_impl="gather")
+    md = Mask3D(**SMALL_KW, backbone_impl="dense")
+    variables = mg.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        sb_g, feats, raw, True,
+    )
+    out_g = mg.apply(variables, sb_g, feats, raw, True)
+    out_d = md.apply(variables, sb_d, feats, raw, True,
+                     grid_dims=grid_dims)
+
+    v = np.asarray(sb_g.levels[0].valid)
+    np.testing.assert_allclose(
+        np.asarray(out_d.pred_class), np.asarray(out_g.pred_class),
+        rtol=5e-3, atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.pred_masks)[v], np.asarray(out_g.pred_masks)[v],
+        rtol=5e-3, atol=5e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_d.sampled_coords), np.asarray(out_g.sampled_coords),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_bottleneck_dense_matches_gather():
     """Bottleneck path parity: dense-grid execution == gather execution."""
     from mask3d_tpu.models.backbone import Res16UNet50
