@@ -130,6 +130,9 @@ class ModelConfig:
     # TPU-specific: recompute backbone activations in the backward pass
     # (jax.checkpoint) — large-batch/large-grid training memory knob
     remat_backbone: bool = False
+    # TPU-specific: cross-attention key-chunk size for the online-softmax
+    # (flash) schedule on full-level eval memories; 0 = one-shot softmax
+    attention_chunk: int = 0
 
 
 @dataclass

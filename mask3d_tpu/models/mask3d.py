@@ -66,22 +66,92 @@ class Mask3DOutput(struct.PyTreeNode):
         return self.aux_pred_masks[-1]
 
 
+def _chunked_attention(qh, kh, vh, mask, chunk):
+    """Online-softmax attention over key chunks (flash-attention schedule).
+
+    Avoids materializing the `[B, h, Q, S]` logits in HBM — at eval the
+    memory is the FULL padded level (S up to 64k), so the one-shot logits
+    tensor plus its softmax round trips are pure HBM traffic that dwarfs
+    the K/V reads. Accumulators are f32 regardless of compute dtype.
+
+    qh: [B, Q, h, hd]; kh/vh: [B, S, h, hd]; mask: [B, Q, S] (True=blocked).
+    Exact (up to fp reassociation) vs the one-shot softmax, including the
+    all-blocked-row convention (uniform weights, matching -1e9 fill).
+    """
+    B, Q, h, hd = qh.shape
+    S = kh.shape[1]
+    nc = S // chunk
+    q32 = qh.astype(jnp.float32) / jnp.sqrt(jnp.float32(hd))
+    kc = kh.reshape(B, nc, chunk, h, hd).transpose(1, 0, 2, 3, 4)
+    vc = vh.reshape(B, nc, chunk, h, hd).transpose(1, 0, 2, 3, 4)
+    mc = mask.reshape(B, Q, nc, chunk).transpose(2, 0, 1, 3)
+
+    def step(carry, xs):
+        m, l, acc = carry
+        k, v, msk = xs
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q32, k.astype(jnp.float32),
+        )
+        logits = jnp.where(msk[:, None], jnp.float32(-1e9), logits)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        corr = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        l_new = l * corr + jnp.sum(p, axis=-1)
+        acc_new = acc * corr[..., None] + jnp.einsum(
+            "bhqk,bkhd->bhqd", p, v.astype(jnp.float32),
+        )
+        return (m_new, l_new, acc_new), None
+
+    init = (
+        jnp.full((B, h, Q), -1e9, jnp.float32),
+        jnp.zeros((B, h, Q), jnp.float32),
+        jnp.zeros((B, h, Q, hd), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(step, init, (kc, vc, mc))
+    out = acc / jnp.maximum(l, 1e-20)[..., None]
+    return jnp.transpose(out, (0, 2, 1, 3)).astype(qh.dtype)
+
+
 class MultiheadAttention(nn.Module):
-    """Standard MHA with a boolean block-mask (True = do not attend)."""
+    """Standard MHA with a boolean block-mask (True = do not attend).
+
+    `project_kv` exposes the K/V projections so callers can hoist them
+    out of loops whose memory is constant (the shared-decoder rounds
+    re-attend the same squeezed level features — reference
+    `mask3d/models/mask3d.py:467` recomputes them every iteration).
+    `chunk > 0` selects the online-softmax schedule for long memories.
+    """
 
     d_model: int
     num_heads: int
 
-    @nn.compact
-    def __call__(self, q, k, v, mask=None):
+    def setup(self):
+        d = self.d_model
+        self.wq = nn.Dense(d, kernel_init=_XAVIER, name="q")
+        self.wk = nn.Dense(d, kernel_init=_XAVIER, name="k")
+        self.wv = nn.Dense(d, kernel_init=_XAVIER, name="v")
+        self.wo = nn.Dense(d, kernel_init=_XAVIER, name="out")
+
+    def project_kv(self, k, v):
+        return self.wk(k), self.wv(v)
+
+    def __call__(self, q, k, v, mask=None, kv_proj=None, chunk=0):
         d, h = self.d_model, self.num_heads
         hd = d // h
-        wq = nn.Dense(d, kernel_init=_XAVIER, name="q")(q)
-        wk = nn.Dense(d, kernel_init=_XAVIER, name="k")(k)
-        wv = nn.Dense(d, kernel_init=_XAVIER, name="v")(v)
+        wq = self.wq(q)
+        wk, wv = kv_proj if kv_proj is not None else self.project_kv(k, v)
 
         def split(x):
             return x.reshape(x.shape[:-1] + (h, hd))
+
+        if (
+            chunk > 0 and mask is not None
+            and wk.shape[1] % chunk == 0 and wk.shape[1] >= 2 * chunk
+        ):
+            out = _chunked_attention(
+                split(wq), split(wk), split(wv), mask, chunk
+            )
+            return self.wo(out.reshape(out.shape[:2] + (d,)))
 
         logits = jnp.einsum("bqhd,bkhd->bhqk", split(wq), split(wk))
         logits = logits / jnp.sqrt(jnp.float32(hd)).astype(logits.dtype)
@@ -91,7 +161,7 @@ class MultiheadAttention(nn.Module):
         att = jax.nn.softmax(logits, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", att, split(wv))
         out = out.reshape(out.shape[:2] + (d,))
-        return nn.Dense(d, kernel_init=_XAVIER, name="out")(out)
+        return self.wo(out)
 
 
 class CrossAttentionLayer(nn.Module):
@@ -102,18 +172,35 @@ class CrossAttentionLayer(nn.Module):
     dropout: float = 0.0
     pre_norm: bool = False
 
-    @nn.compact
+    def setup(self):
+        # Explicit names preserve the param paths of the former
+        # @nn.compact auto-numbering (checkpoint compatibility).
+        self.attn = MultiheadAttention(
+            self.d_model, self.num_heads, name="MultiheadAttention_0"
+        )
+        self.norm = nn.LayerNorm(name="LayerNorm_0")
+        self.drop = nn.Dropout(self.dropout, name="Dropout_0")
+
+    def project_kv(self, memory, pos):
+        """K/V projections of a (memory, pos) pair — constant across the
+        shared-decoder rounds, so hoistable (K attends to memory+pos,
+        V to memory, reference mask3d.py:700-709)."""
+        return self.attn.project_kv(memory + pos, memory)
+
     def __call__(self, tgt, memory, memory_mask, pos, query_pos,
-                 deterministic=True):
-        attn = MultiheadAttention(self.d_model, self.num_heads)
-        drop = nn.Dropout(self.dropout, deterministic=deterministic)
-        norm = nn.LayerNorm()
+                 deterministic=True, kv_proj=None, chunk=0):
         if self.pre_norm:
-            t2 = norm(tgt)
-            t2 = attn(t2 + query_pos, memory + pos, memory, memory_mask)
-            return tgt + drop(t2)
-        t2 = attn(tgt + query_pos, memory + pos, memory, memory_mask)
-        return norm(tgt + drop(t2))
+            t2 = self.norm(tgt)
+            t2 = self.attn(
+                t2 + query_pos, memory + pos, memory, memory_mask,
+                kv_proj=kv_proj, chunk=chunk,
+            )
+            return tgt + self.drop(t2, deterministic=deterministic)
+        t2 = self.attn(
+            tgt + query_pos, memory + pos, memory, memory_mask,
+            kv_proj=kv_proj, chunk=chunk,
+        )
+        return self.norm(tgt + self.drop(t2, deterministic=deterministic))
 
 
 class SelfAttentionLayer(nn.Module):
@@ -207,6 +294,11 @@ class Mask3D(nn.Module):
     sp_axis: Optional[str] = None
     # Activation checkpointing of the backbone (training-memory knob).
     remat_backbone: bool = False
+    # Cross-attention key-chunk size for the online-softmax schedule
+    # (0 = one-shot softmax). Only kicks in when the memory length is a
+    # multiple of the chunk and >= 2 chunks (i.e. the full-level eval
+    # path); sampled train memories fall through to one-shot.
+    attention_chunk: int = 0
 
     def _pos_enc(self, xyz, mins, maxs, gauss_b):
         if self.positional_encoding_type == "fourier":
@@ -520,8 +612,11 @@ class Mask3D(nn.Module):
                         src_full = squeeze[d][li](feats_l)
                         if self.use_level_embed:
                             src_full = src_full + level_embed[li]
-                        src_cache[key_src] = src_full
-                    src = src_cache[key_src]
+                        # K/V projections are likewise constant across
+                        # decoder rounds — hoist them too.
+                        kvp = cross[d][li].project_kv(src_full, pe_s)
+                        src_cache[key_src] = (src_full, kvp)
+                    src, kvp = src_cache[key_src]
                 else:
                     r = jax.random.uniform(
                         self.make_rng("sample"), (B, cap)
@@ -546,6 +641,7 @@ class Mask3D(nn.Module):
                     src = squeeze[d][li](kv)
                     if self.use_level_embed:
                         src = src + level_embed[li]
+                    kvp = None
 
                 # Un-mask queries whose mask blocks every sampled point
                 # (reference mask3d.py:456).
@@ -556,7 +652,8 @@ class Mask3D(nn.Module):
 
                 queries = cross[d][li](
                     queries, src, mem_mask, pe_s, query_pos,
-                    deterministic=deterministic,
+                    deterministic=deterministic, kv_proj=kvp,
+                    chunk=self.attention_chunk,
                 )
                 queries = self_att[d][li](
                     queries, query_pos, deterministic=deterministic

@@ -69,6 +69,7 @@ def make_model(cfg: Config) -> Mask3D:
         compute_dtype=dt,
         sp_axis=cfg.model.sp_axis,
         remat_backbone=cfg.model.remat_backbone,
+        attention_chunk=cfg.model.attention_chunk,
     )
 
 

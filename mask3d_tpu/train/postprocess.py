@@ -70,7 +70,13 @@ def get_mask_and_scores(pred_probs: np.ndarray, pred_masks: np.ndarray,
     query_idx = top // c
     masks_logits = pred_masks[:, query_idx]
     bin_masks = masks_logits > 0
-    heatmap = 1.0 / (1.0 + np.exp(-masks_logits))
+    # Stable sigmoid (large negative logits overflow np.exp(-x)).
+    heatmap = np.where(
+        masks_logits >= 0,
+        1.0 / (1.0 + np.exp(-np.clip(masks_logits, 0, None))),
+        np.exp(np.clip(masks_logits, None, 0))
+        / (1.0 + np.exp(np.clip(masks_logits, None, 0))),
+    )
     mask_scores = (heatmap * bin_masks).sum(0) / (bin_masks.sum(0) + 1e-6)
     return cls_scores * mask_scores, bin_masks, labels, heatmap
 

@@ -275,3 +275,52 @@ def test_bottleneck_dense_matches_gather():
     np.testing.assert_allclose(
         np.asarray(out_d)[v], np.asarray(out_g)[v], rtol=2e-3, atol=2e-3
     )
+
+
+def test_chunked_attention_matches_oneshot():
+    """Online-softmax key-chunk schedule == one-shot softmax, including the
+    all-blocked-row convention (uniform weights over -1e9 logits)."""
+    from mask3d_tpu.models.mask3d import MultiheadAttention
+
+    rng = np.random.default_rng(11)
+    B, Q, S, D, H = 2, 5, 64, 32, 4
+    q = jnp.asarray(rng.normal(size=(B, Q, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, Q, S)) < 0.3)
+    # One fully-blocked query row and one fully-open row.
+    mask = mask.at[0, 1].set(True).at[1, 2].set(False)
+
+    m = MultiheadAttention(D, H)
+    params = m.init(jax.random.PRNGKey(0), q, k, v, mask)
+    ref = m.apply(params, q, k, v, mask)
+    for chunk in (8, 16, 32):
+        out = m.apply(params, q, k, v, mask, chunk=chunk)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+    # chunk that does not divide S falls back to one-shot exactly
+    out = m.apply(params, q, k, v, mask, chunk=24)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_mask3d_attention_chunk_parity(scene):
+    """Full model: attention_chunk (flash schedule on full-level eval
+    memories) changes nothing but fp reassociation."""
+    sb, feats, raw = scene
+    model = Mask3D(**SMALL_KW)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        sb, feats, raw, False,
+    )
+    model_c = Mask3D(**SMALL_KW, attention_chunk=16)
+    e0 = model.apply(variables, sb, feats, raw, True)
+    e1 = model_c.apply(variables, sb, feats, raw, True)
+    np.testing.assert_allclose(
+        np.asarray(e1.pred_masks), np.asarray(e0.pred_masks),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e1.pred_class), np.asarray(e0.pred_class),
+        rtol=1e-4, atol=1e-4,
+    )
