@@ -53,9 +53,9 @@ class DeviceBatch(struct.PyTreeNode):
     dims: jax.Array  # i32[B, 3]
     feats: jax.Array  # f32[B, N, F]
     target: Targets
-    # Static per-level dense-grid dims (bucketed by the collator, level-0
-    # dims multiples of 16 so stride-2 halving stays even); part of the
-    # treedef so shape-dependent jits recompile per bucket.
+    # Static per-level dense-grid dims (bucketed by the collator: level-0
+    # dims multiples of 8, coarser levels the ceil-div halving chain);
+    # part of the treedef so shape-dependent jits recompile per bucket.
     grid_dims: tuple = struct.field(pytree_node=False, default=None)
 
     @property

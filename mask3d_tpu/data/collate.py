@@ -165,16 +165,22 @@ class VoxelizeCollate:
             self.point_buckets, self.point_bucket_multiple,
         )
         # Static per-level dense-grid dims: level-0 bucketed to multiples of
-        # 16 per axis (stride-2 halving stays even through 4 levels), coarser
-        # levels are exact halvings. Consumed by the row-table kernel maps
-        # and the dense-grid backbone path.
+        # 8 per axis (bounds jit recompiles), coarser levels follow the
+        # ceil-div chain of the sparse key arithmetic (coarse coord =
+        # fine >> 1, so extent d -> ((d-1)>>1)+1; the dense pool/stride-2
+        # ops zero-pad odd dims to match). 8 instead of 16 because z is
+        # typically ~20 cells (3 m rooms at 150 mm voxels): a 16-bucket
+        # pads z to 32, inflating EVERY dense-grid op by ~48% measured
+        # cell volume on flagship scenes.
         max_d0 = np.max(
             np.stack([it["dims"] for it in per_item]), axis=0
         ).astype(np.int64)
-        d0 = tuple(int(-(-d // 16) * 16) for d in max_d0)
+        d0 = tuple(int(-(-d // 8) * 8) for d in max_d0)
         grid_dims = [d0]
         for _ in range(4):
-            grid_dims.append(tuple(d // 2 for d in grid_dims[-1]))
+            grid_dims.append(
+                tuple(((d - 1) >> 1) + 1 for d in grid_dims[-1])
+            )
         grid_dims = tuple(grid_dims)
         i_cap = max(
             self.instance_bucket_multiple,

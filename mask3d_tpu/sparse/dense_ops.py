@@ -141,12 +141,21 @@ def dense_conv_same_zfold(x, weight, occ, bias=None, compute_dtype=None):
 
 
 def dense_conv_down(x, weight, occ_coarse, bias=None, compute_dtype=None):
-    """Stride-2 kernel-2 conv; grid dims must be even. weight: [8, Cin, Cout]
-    with the 3-bit (x,y,z) child enumeration (== C-order [2,2,2] ravel)."""
+    """Stride-2 kernel-2 conv; odd grid dims are zero-padded up (the
+    missing children of a boundary coarse cell are exactly the gather
+    path's out-of-range zeros). weight: [8, Cin, Cout] with the 3-bit
+    (x,y,z) child enumeration (== C-order [2,2,2] ravel)."""
     w = weight.reshape(2, 2, 2, weight.shape[1], weight.shape[2])
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+    pads = (
+        (0, 0),
+        (0, x.shape[1] % 2), (0, x.shape[2] % 2), (0, x.shape[3] % 2),
+        (0, 0),
+    )
+    if any(p[1] for p in pads):
+        x = jnp.pad(x, pads)
     out = _conv(x, w, (2, 2, 2), "VALID")
     if bias is not None:
         out = out + bias
@@ -165,6 +174,10 @@ def dense_conv_tr(x, weight, occ_fine, bias=None, compute_dtype=None):
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
     out = _conv(x, w, (2, 2, 2), "VALID", transpose=True)
+    # Odd fine dims: the last coarse cell's high-half children fall past
+    # the fine extent — slice them off.
+    fx, fy, fz = occ_fine.shape[1:4]
+    out = out[:, :fx, :fy, :fz]
     if bias is not None:
         out = out + bias
     return (out * occ_fine).astype(x.dtype)
@@ -184,23 +197,35 @@ def dense_instance_norm(x, occ, gamma, beta, eps=1e-5):
     return (out * occ).astype(x.dtype)
 
 
+def _pool_pad(x):
+    """Right-pad odd spatial dims so stride-2 windows cover the last
+    slab (reduce_window fills the pad with the init value — identity)."""
+    return (
+        (0, 0),
+        (0, x.shape[1] % 2), (0, x.shape[2] % 2), (0, x.shape[3] % 2),
+        (0, 0),
+    )
+
+
 def maxpool2(occ):
-    """2x2x2 stride-2 max pooling of a dense grid [B, X, Y, Z, C]."""
+    """2x2x2 stride-2 max pooling of a dense grid [B, X, Y, Z, C]; odd
+    dims pool their lone boundary slab (output = ceil(d/2))."""
     return jax.lax.reduce_window(
         occ, -jnp.inf, jax.lax.max,
         window_dimensions=(1, 2, 2, 2, 1),
         window_strides=(1, 2, 2, 2, 1),
-        padding="VALID",
+        padding=_pool_pad(occ),
     )
 
 
 def sumpool2(x):
-    """2x2x2 stride-2 sum pooling of a dense grid [B, X, Y, Z, C]."""
+    """2x2x2 stride-2 sum pooling of a dense grid [B, X, Y, Z, C]; odd
+    dims pool their lone boundary slab (output = ceil(d/2))."""
     return jax.lax.reduce_window(
         x, 0.0, jax.lax.add,
         window_dimensions=(1, 2, 2, 2, 1),
         window_strides=(1, 2, 2, 2, 1),
-        padding="VALID",
+        padding=_pool_pad(x),
     )
 
 
@@ -277,7 +302,9 @@ def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int,
 
     b = level.key.shape[0]
     gx, gy, gz = grid_dims
-    cgx, cgy, cgz = gx // 2, gy // 2, gz // 2
+    cgx, cgy, cgz = (
+        ((gx - 1) >> 1) + 1, ((gy - 1) >> 1) + 1, ((gz - 1) >> 1) + 1
+    )
     cells_c = cgx * cgy * cgz
 
     if occ_f is None:

@@ -267,3 +267,77 @@ def test_dense_conv_same_zfold_matches_direct(rng):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4
         )
+
+
+def test_backbone_dense_matches_gather_odd_chain(rng):
+    """8-multiple grid buckets give ceil-div level chains with ODD coarse
+    dims (24 -> 12 -> 6 -> 3 -> 2). The padded dense pool/stride-2 ops must
+    stay numerically identical to the gather path there."""
+    from mask3d_tpu.models.backbone import Res16UNet14A
+
+    level, _ = make_batch(rng, num_items=2, dims=(17, 17, 17), max_pts=220,
+                          capacity=256)
+    grid_dims = [(24, 24, 24)]
+    for _ in range(4):
+        grid_dims.append(
+            tuple(((d - 1) >> 1) + 1 for d in grid_dims[-1])
+        )
+    grid_dims = tuple(grid_dims)
+    assert grid_dims[3] == (3, 3, 3)
+    cells = tuple(int(np.prod(d)) for d in grid_dims)
+    caps = [256, 128, 64, 32]
+    sb_g = build_sparse_batch(
+        level.coords, level.count, level.dims, level_capacities=caps,
+        conv1_kernel_size=3, grid_cells=cells,
+    )
+    sb_d = build_sparse_batch(
+        level.coords, level.count, level.dims, level_capacities=caps,
+        conv1_kernel_size=None, build_block_maps=False,
+        grid_dims=grid_dims,
+    )
+    # Pyramid itself matches the argsort-based row build at every level.
+    for lg, ld in zip(sb_g.levels, sb_d.levels):
+        for field in ("key", "coords", "valid", "count", "dims"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(lg, field)),
+                np.asarray(getattr(ld, field)), err_msg=field,
+            )
+
+    feats = jnp.ones((2, 256, 1), jnp.float32)
+    feats = jnp.where(level.valid[..., None], feats, 0)
+    mg = Res16UNet14A(in_channels=1, conv1_kernel_size=3, impl="gather")
+    md = Res16UNet14A(in_channels=1, conv1_kernel_size=3, impl="dense")
+    params = mg.init(jax.random.PRNGKey(0), feats, sb_g)
+    out_g, fmaps_g = mg.apply(params, feats, sb_g)
+    out_d, fmaps_d = md.apply(params, feats, sb_d, grid_dims)
+    v = np.asarray(level.valid)
+    np.testing.assert_allclose(
+        np.asarray(out_d)[v], np.asarray(out_g)[v], rtol=2e-3, atol=2e-3
+    )
+    for fg, fd, lv in zip(fmaps_g, fmaps_d, reversed(sb_g.levels)):
+        lvv = np.asarray(lv.valid)
+        np.testing.assert_allclose(
+            np.asarray(fd)[lvv], np.asarray(fg)[lvv], rtol=2e-3, atol=2e-3
+        )
+
+    # Grid-space mean-pool pyramid parity on the same odd chain.
+    from mask3d_tpu.sparse.ops import avg_pool
+
+    f2 = rng.normal(size=(2, 256, 7)).astype(np.float32)
+    f2[~np.asarray(sb_d.levels[0].valid)] = 0
+    x = jnp.asarray(f2)
+    rows_ref = []
+    for i, pool in enumerate(sb_g.pools):
+        x = avg_pool(x, pool, sb_g.levels[i + 1].capacity)
+        rows_ref.append(x)
+    fgrid = dense_ops.scatter_rows(jnp.asarray(f2), sb_d.levels[0],
+                                   grid_dims[0])
+    got = dense_ops.pooled_row_pyramid(
+        [fgrid], sb_d.occ, sb_d.levels, grid_dims
+    )
+    for li, ((frow,), ref) in enumerate(zip(got, rows_ref), start=1):
+        vv = np.asarray(sb_d.levels[li].valid)
+        np.testing.assert_allclose(
+            np.asarray(frow)[vv], np.asarray(ref)[vv],
+            rtol=1e-5, atol=1e-5, err_msg=f"feats level {li}",
+        )
