@@ -1,0 +1,151 @@
+"""Scale-up training rehearsal on the real chip.
+
+Runs a few hundred steps of the flagship config (Mask3D + Res16UNet34C,
+reference batch 16 via gradient accumulation) on realistic multi-floor
+synthetic scenes (~45k voxels, 12 rooms, two floors) through the FULL trainer —
+fit -> periodic validation -> checkpointing — then asserts:
+
+- train loss decreases (first-epoch mean vs last-epoch mean),
+- final val mAP@50 clears a fixed bound,
+- the last checkpoint restores bit-exact into a fresh trainer,
+
+and prints steps/sec. This is the closest available proxy for the
+reference's mAP-parity acceptance (BASELINE.md north star) without the
+Structured3D dataset on disk.
+
+Run: python tools/train_rehearsal.py [num_epochs]
+(600 epochs = 1800 steps, ~1.5-2 h on v5e incl. compiles and evals;
+ONE TPU process at a time. The dice term needs ~1k steps to leave the
+all-negative-mask regime — shorter runs plateau with mAP@50 = 0.)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+class SyntheticRoomsDataset:
+    """Fixed-seed multi-floor room scenes in the dataset item contract."""
+
+    labels_info = {0: {"name": "is_room", "validation": True}}
+
+    def __init__(self, n_scenes: int, seed: int):
+        from mask3d_tpu.data import make_synthetic_scene
+
+        rng = np.random.default_rng(seed)
+        self._items = []
+        for i in range(n_scenes):
+            # 3x2 rooms x 2 floors = 12 rooms/scene — inside the reference
+            # dataset's 1-22 rooms/scene range (avg 6.23) and comfortably
+            # under num_queries=25; 4x3x2=24 rooms left the matcher with
+            # zero slack and mAP@50 stayed 0 for 40 epochs.
+            item = make_synthetic_scene(
+                rng, num_rooms_x=3, num_rooms_y=2, room_size=36, height=14,
+                jitter=0.3, dropout=0.25, multi_floor=True,
+            )
+            item["scene"] = f"synthetic_{seed}_{i}"
+            item["idx"] = i
+            self._items.append(item)
+
+    def __len__(self):
+        return len(self._items)
+
+    def __getitem__(self, i):
+        return self._items[i]
+
+
+def main(num_epochs: int = 60):
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu"
+        if jax.default_backend() == "tpu" else "/root/repo/.jax_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from mask3d_tpu.config import Config, apply_overrides
+    from mask3d_tpu.train.trainer import InstanceSegmentationTrainer
+
+    cfg = Config()
+    apply_overrides(cfg, [
+        "data.batch_size=16",
+        "trainer.grad_accum_steps=4",       # batch 16 on one 16GB chip
+        "model.remat_backbone=true",
+        "data.point_bucket_multiple=65536",
+        # The reference trains ~100k steps at lr 1e-4; this rehearsal has
+        # a couple thousand, so scale lr moderately (1e-3 measured to
+        # stall the dice term; 3e-4 moves it).
+        "optimizer.lr=0.0003",
+        f"trainer.max_epochs={num_epochs}",
+        "trainer.check_val_every_n_epoch=50",
+        "trainer.log_every_n_steps=3",
+        "trainer.train_split_metrics=false",  # throughput: metrics on val
+        "general.use_dbscan=false",           # eval speed (not under test)
+        "general.scores_threshold=0.0",
+        "general.export_las=false",
+        "general.save_dir=/tmp/rehearsal_saved",
+        "general.experiment_name=rehearsal",
+        "general.experiment_id=run1",
+    ])
+    datasets = {
+        "train": SyntheticRoomsDataset(48, seed=1),
+        "validation": SyntheticRoomsDataset(8, seed=2),
+        "test": SyntheticRoomsDataset(8, seed=3),
+    }
+    n0 = len(datasets["train"][0]["coordinates"])
+    print(f"scene size ~{n0} pts, {num_epochs} epochs x 3 steps "
+          f"(dice needs ~1k+ steps to leave the all-negative regime)",
+          flush=True)
+
+    import shutil
+
+    shutil.rmtree("/tmp/rehearsal_saved", ignore_errors=True)
+    trainer = InstanceSegmentationTrainer(cfg, datasets=datasets)
+
+    t0 = time.time()
+    trainer.fit()
+    wall = time.time() - t0
+    steps = int(np.asarray(trainer.state.step))
+    print(f"total steps: {steps}  wall: {wall:.0f}s  "
+          f"({steps / wall:.3f} steps/s incl. compile+eval)", flush=True)
+
+    # loss decreased?
+    import csv
+
+    with open(os.path.join(trainer.run_dir, "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    tr = [(int(r["epoch"]), float(r["train_loss"]))
+          for r in rows if r.get("train_loss")]
+    first, last = tr[0][1], tr[-1][1]
+    print(f"train_loss: epoch {tr[0][0]} {first:.2f} -> "
+          f"epoch {tr[-1][0]} {last:.2f}", flush=True)
+    assert last < 0.7 * first, "train loss did not decrease enough"
+
+    vals = [float(r["val_mean_ap_50"]) for r in rows
+            if r.get("val_mean_ap_50")]
+    print(f"val mAP@50 trajectory: {[round(v, 3) for v in vals]}", flush=True)
+    assert vals and vals[-1] >= 0.15, f"final val mAP@50 too low: {vals}"
+
+    # bit-exact resume of the last checkpoint
+    import jax as _jax
+    from mask3d_tpu.train import checkpoint as ckpt
+
+    fresh = InstanceSegmentationTrainer(cfg, datasets=datasets)
+    restored, _ = ckpt.load_checkpoint(
+        fresh.ckpt_mgr.resume_path(), fresh.state
+    )
+    for a, b in zip(
+        _jax.tree_util.tree_leaves(trainer.state.params),
+        _jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    print("checkpoint restores bit-exact", flush=True)
+    print("REHEARSAL PASS", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 600)
