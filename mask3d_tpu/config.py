@@ -133,6 +133,9 @@ class ModelConfig:
     # TPU-specific: cross-attention key-chunk size for the online-softmax
     # (flash) schedule on full-level eval memories; 0 = one-shot softmax
     attention_chunk: int = 0
+    # TPU-specific: fused Pallas masked cross-attention tile (0 = off);
+    # K/V stream once through VMEM, no [B,h,Q,S] logits in HBM
+    attention_pallas_tile: int = 0
 
 
 @dataclass

@@ -135,7 +135,8 @@ class MultiheadAttention(nn.Module):
     def project_kv(self, k, v):
         return self.wk(k), self.wv(v)
 
-    def __call__(self, q, k, v, mask=None, kv_proj=None, chunk=0):
+    def __call__(self, q, k, v, mask=None, kv_proj=None, chunk=0,
+                 pallas_tile=0):
         d, h = self.d_model, self.num_heads
         hd = d // h
         wq = self.wq(q)
@@ -143,6 +144,21 @@ class MultiheadAttention(nn.Module):
 
         def split(x):
             return x.reshape(x.shape[:-1] + (h, hd))
+
+        if (
+            pallas_tile > 0 and mask is not None
+            and wk.shape[1] % pallas_tile == 0
+            and wk.shape[1] >= 2 * pallas_tile
+        ):
+            from mask3d_tpu.ops.pallas_attention import (
+                masked_cross_attention,
+            )
+
+            out = masked_cross_attention(
+                wq, wk, wv, mask, h, tile=pallas_tile,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return self.wo(out)
 
         if (
             chunk > 0 and mask is not None
@@ -188,17 +204,17 @@ class CrossAttentionLayer(nn.Module):
         return self.attn.project_kv(memory + pos, memory)
 
     def __call__(self, tgt, memory, memory_mask, pos, query_pos,
-                 deterministic=True, kv_proj=None, chunk=0):
+                 deterministic=True, kv_proj=None, chunk=0, pallas_tile=0):
         if self.pre_norm:
             t2 = self.norm(tgt)
             t2 = self.attn(
                 t2 + query_pos, memory + pos, memory, memory_mask,
-                kv_proj=kv_proj, chunk=chunk,
+                kv_proj=kv_proj, chunk=chunk, pallas_tile=pallas_tile,
             )
             return tgt + self.drop(t2, deterministic=deterministic)
         t2 = self.attn(
             tgt + query_pos, memory + pos, memory, memory_mask,
-            kv_proj=kv_proj, chunk=chunk,
+            kv_proj=kv_proj, chunk=chunk, pallas_tile=pallas_tile,
         )
         return self.norm(tgt + self.drop(t2, deterministic=deterministic))
 
@@ -299,6 +315,11 @@ class Mask3D(nn.Module):
     # multiple of the chunk and >= 2 chunks (i.e. the full-level eval
     # path); sampled train memories fall through to one-shot.
     attention_chunk: int = 0
+    # Fused Pallas masked cross-attention tile (0 = off). Streams K/V
+    # once through VMEM with the softmax state in scratch — no [B,h,Q,S]
+    # logits in HBM at all (ops/pallas_attention.py). Takes precedence
+    # over attention_chunk where the memory length qualifies.
+    attention_pallas_tile: int = 0
 
     def _pos_enc(self, xyz, mins, maxs, gauss_b):
         if self.positional_encoding_type == "fourier":
@@ -654,6 +675,7 @@ class Mask3D(nn.Module):
                     queries, src, mem_mask, pe_s, query_pos,
                     deterministic=deterministic, kv_proj=kvp,
                     chunk=self.attention_chunk,
+                    pallas_tile=self.attention_pallas_tile,
                 )
                 queries = self_att[d][li](
                     queries, query_pos, deterministic=deterministic

@@ -70,6 +70,7 @@ def make_model(cfg: Config) -> Mask3D:
         sp_axis=cfg.model.sp_axis,
         remat_backbone=cfg.model.remat_backbone,
         attention_chunk=cfg.model.attention_chunk,
+        attention_pallas_tile=cfg.model.attention_pallas_tile,
     )
 
 

@@ -324,3 +324,24 @@ def test_mask3d_attention_chunk_parity(scene):
         np.asarray(e1.pred_class), np.asarray(e0.pred_class),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_mask3d_attention_pallas_parity(scene):
+    """Fused Pallas cross-attention (interpreter on CPU) == one-shot."""
+    sb, feats, raw = scene
+    model = Mask3D(**SMALL_KW)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        sb, feats, raw, False,
+    )
+    model_p = Mask3D(**SMALL_KW, attention_pallas_tile=32)
+    e0 = model.apply(variables, sb, feats, raw, True)
+    e1 = model_p.apply(variables, sb, feats, raw, True)
+    np.testing.assert_allclose(
+        np.asarray(e1.pred_masks), np.asarray(e0.pred_masks),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(e1.pred_class), np.asarray(e0.pred_class),
+        rtol=1e-4, atol=1e-4,
+    )
