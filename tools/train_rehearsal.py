@@ -103,7 +103,12 @@ def main(num_epochs: int = 60):
 
     import shutil
 
-    shutil.rmtree("/tmp/rehearsal_saved", ignore_errors=True)
+    if "--fresh" in sys.argv or not os.path.exists(
+        "/tmp/rehearsal_saved/rehearsal/run1/last-epoch.ckpt"
+    ):
+        shutil.rmtree("/tmp/rehearsal_saved", ignore_errors=True)
+    # else: the trainer auto-resumes from last-epoch.ckpt (a wedged
+    # tunnel RPC should not cost the run — kill and relaunch).
     trainer = InstanceSegmentationTrainer(cfg, datasets=datasets)
 
     t0 = time.time()
