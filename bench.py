@@ -45,7 +45,41 @@ BASELINE_POINTS_PER_SEC = 1.0e6  # estimated A100 reference pipeline
 NUM_BATCHES = 24
 
 
+def _stop_stale_tpu_owner():
+    """Only ONE process may use the remote TPU tunnel at a time (CLAUDE.md).
+
+    Long-running tools (tools/train_rehearsal.py) record their pid in
+    /tmp/rehearsal.pid; if one is still alive when the bench starts, stop
+    it by exact pid so the bench gets an exclusive, healthy tunnel.
+    """
+    import signal
+
+    for pidfile in ("/tmp/rehearsal.pid",):
+        try:
+            pid = int(open(pidfile).read().strip())
+            if pid == os.getpid():
+                continue
+            os.kill(pid, 0)  # raises if not alive
+        except (OSError, ValueError):
+            continue
+        print(f"# bench: stopping TPU-owning pid {pid} from {pidfile}")
+        try:
+            os.kill(pid, signal.SIGTERM)
+            for _ in range(20):
+                time.sleep(0.5)
+                os.kill(pid, 0)
+            os.kill(pid, signal.SIGKILL)
+        except OSError:
+            pass
+        try:
+            os.remove(pidfile)
+        except OSError:
+            pass
+        time.sleep(2.0)  # let the tunnel-side session close
+
+
 def main(batch_size: int = 8):
+    _stop_stale_tpu_owner()
     import jax
     import jax.numpy as jnp
 

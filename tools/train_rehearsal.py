@@ -153,4 +153,8 @@ def main(num_epochs: int = 60):
 
 
 if __name__ == "__main__":
+    # Record ownership of the (single-process) TPU tunnel; bench.py stops
+    # a still-running rehearsal by this exact pid before benching.
+    with open("/tmp/rehearsal.pid", "w") as f:
+        f.write(str(os.getpid()))
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 600)
