@@ -47,9 +47,21 @@ def dbscan_filter_masks(pred_masks: np.ndarray, coords: np.ndarray,
         labels = DBSCAN(eps=eps, min_samples=min_points, n_jobs=1).fit(
             coords[sel]
         ).labels_
-        keep = np.zeros(out.shape[0], bool)
-        keep[np.nonzero(sel)[0][labels >= 0]] = True
-        out[:, q] = np.where(keep, out[:, q], 0.0)
+        # Reference semantics (trainer.py:86-92): the mask logits are
+        # multiplied by EACH cluster's indicator in sequence, so
+        #   0 clusters (all noise) -> mask kept unchanged,
+        #   1 cluster             -> only that cluster's points survive,
+        #   >=2 clusters          -> the whole mask is zeroed (the
+        #                            indicators are disjoint).
+        clusters = np.unique(labels[labels >= 0])
+        if clusters.size == 0:
+            continue
+        if clusters.size == 1:
+            keep = np.zeros(out.shape[0], bool)
+            keep[np.nonzero(sel)[0][labels == clusters[0]]] = True
+            out[:, q] = np.where(keep, out[:, q], 0.0)
+        else:
+            out[:, q] = 0.0
     return out
 
 
@@ -149,6 +161,18 @@ def postprocess_item(
             return None
 
     probs = softmax_excl_ignore(pred_class)
+    # Reference quirk, reproduced deliberately (trainer.py:434): the
+    # softmax'd probabilities with the ignore class dropped ([Q, C]) are
+    # assigned back into the [Q, C+1] pred_class slot. For room detection
+    # (C == 1) this BROADCASTS the room probability into both columns, so
+    # get_mask_and_scores topk's over 2Q duplicated scores and emits the
+    # top ceil(Q/2) queries twice each (labels 0 and 1, both remapped to
+    # the room id below). For C > 1 the reference crashes on the same
+    # line (torch cannot broadcast [Q, C] into [Q, C+1]); we keep the
+    # sane un-duplicated path there. Pinned by
+    # tests/test_postprocess_differential.py.
+    if probs.shape[-1] == 1 and pred_class.shape[-1] == 2:
+        probs = np.broadcast_to(probs, pred_class.shape)
     mark("eval_prep")
     masks_logits = pred_masks
     if use_dbscan:
@@ -172,10 +196,17 @@ def postprocess_item(
         masks = masks[:, kept]
         scores = scores[kept]
         mark("eval_filter_out_instances")
-    if prediction_label_ids is None:
-        label_ids = classes + 1  # is_room: idx 0 -> id 1
-    else:
-        label_ids = np.asarray(prediction_label_ids)[classes]
+    # Reference remap semantics (`change_semantic_label_idxs_to_ids`,
+    # semseg_structured3d.py:260-268): label INDEX i is rewritten to the
+    # i-th dataset label id; values beyond the id list stay unchanged
+    # (the duplicated label 1 from the broadcast quirk above happens to
+    # already equal the is_room id).
+    ids = (1,) if prediction_label_ids is None else tuple(
+        np.asarray(prediction_label_ids).tolist()
+    )
+    label_ids = classes.copy()
+    for idx, lid in enumerate(ids):
+        label_ids[classes == idx] = lid
     return {
         "pred_classes": label_ids.astype(np.int32),
         "pred_masks": masks.astype(np.float32),
