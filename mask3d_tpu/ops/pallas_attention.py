@@ -77,6 +77,28 @@ def _kernel(q_ref, k_ref, v_ref, m_ref, o_ref,
         )
 
 
+def _xla_reference(q, k, v, mask, num_heads: int):
+    """One-shot XLA formulation with identical semantics (the -1e9 fill,
+    f32 accumulation). Used only for the backward pass: the op is
+    differentiated through this, so gradients are exact while the Pallas
+    kernel accelerates the forward."""
+    b, nq, d = q.shape
+    hd = d // num_heads
+
+    def split(x):
+        return x.reshape(x.shape[0], x.shape[1], num_heads, hd)
+
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", split(q).astype(jnp.float32),
+        split(k).astype(jnp.float32),
+    ) / (hd ** 0.5)
+    logits = jnp.where(mask[:, None], jnp.float32(-1e9), logits)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, split(v).astype(jnp.float32))
+    return out.reshape(b, nq, d).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def masked_cross_attention(q, k, v, mask, num_heads: int, tile: int = 512,
                            interpret: bool = False):
     """q: [B, Q, D]; k, v: [B, S, D]; mask: [B, Q, S] bool (True=blocked).
@@ -86,6 +108,9 @@ def masked_cross_attention(q, k, v, mask, num_heads: int, tile: int = 512,
     (all-blocked rows degrade to uniform weights).
 
     Requires S % tile == 0 (level capacities are powers of two).
+    Differentiable: the backward is the exact VJP of the one-shot XLA
+    formulation (custom_vjp — pallas_call itself has no autodiff rule),
+    so the kernel is usable in the training step too.
     """
     b, nq, d = q.shape
     s = k.shape[1]
@@ -125,3 +150,21 @@ def masked_cross_attention(q, k, v, mask, num_heads: int, tile: int = 512,
         interpret=interpret,
     )(q, k, v, m8)
     return out[:, :nq]
+
+
+def _mca_fwd(q, k, v, mask, num_heads, tile, interpret):
+    out = masked_cross_attention(q, k, v, mask, num_heads, tile, interpret)
+    return out, (q, k, v, mask)
+
+
+def _mca_bwd(num_heads, tile, interpret, res, g):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_reference(q_, k_, v_, mask, num_heads),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+masked_cross_attention.defvjp(_mca_fwd, _mca_bwd)

@@ -57,3 +57,32 @@ def test_masked_cross_attention_bf16():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2
     )
+
+
+def test_masked_cross_attention_grad_matches_oneshot():
+    """custom_vjp backward (exact VJP of the one-shot formulation) vs
+    autodiff of the oracle — the kernel must be trainable."""
+    rng = np.random.default_rng(11)
+    B, Q, S, D, H = 2, 9, 128, 32, 4
+    q = jnp.asarray(rng.normal(size=(B, Q, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, D)), jnp.float32)
+    mask = jnp.asarray(rng.random((B, Q, S)) < 0.4)
+    mask = mask.at[0, 2].set(True)  # fully-blocked row
+    cot = jnp.asarray(rng.normal(size=(B, Q, D)), jnp.float32)
+
+    def f_kernel(q, k, v):
+        out = masked_cross_attention(q, k, v, mask, H, tile=32,
+                                     interpret=True)
+        return jnp.sum(out * cot)
+
+    def f_oracle(q, k, v):
+        return jnp.sum(oracle(q, k, v, mask, H) * cot)
+
+    g_kernel = jax.grad(f_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_oracle = jax.grad(f_oracle, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_kernel, g_oracle, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5,
+            err_msg=f"d{name}",
+        )
