@@ -318,3 +318,22 @@ def test_postprocess_differential_no_dbscan_no_filter(ref_trainer_mod):
             _assert_metrics_equal(ours, ref, "val", f"plain batch {bi}")
     finally:
         GENERAL.update(saved)
+
+
+def test_postprocess_differential_topk(ref_trainer_mod):
+    """topk_per_image cutting mid-duplicate-pair (odd k): torch.topk and
+    our stable argsort break the tie differently, but the picked entries
+    are indistinguishable (same mask, score, remapped label) so metrics
+    must still match exactly."""
+    rng = np.random.default_rng(99)
+    overrides = dict(use_dbscan=False, topk_per_image=7)
+    saved = {k: GENERAL[k] for k in overrides}
+    GENERAL.update(overrides)
+    try:
+        for bi in range(10):
+            items = _fuzz_batch(rng, 200 + bi, int(rng.integers(1, 3)))
+            ref = _ref_metrics(ref_trainer_mod, items)
+            ours = _our_metrics(items)
+            _assert_metrics_equal(ours, ref, "val", f"topk batch {bi}")
+    finally:
+        GENERAL.update(saved)
