@@ -59,3 +59,20 @@ def test_monotone_gather_grad():
     for i in range(m):
         ref[0, idx[0, i]] += 2.0 * out[0, i]
     np.testing.assert_allclose(g, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_monotone_gather_odd_tile_count_multi_item():
+    """nt odd (M/tile = 3) across multiple items: the double-buffer slot
+    must follow GLOBAL step parity (b * nt + i) — per-item parity would
+    read a stale window / wait on the wrong semaphore at item boundaries
+    when nt is odd."""
+    rng = np.random.default_rng(7)
+    b, n, c, m, tile = 3, 4096, 24, 768, 256
+    assert (m // tile) % 2 == 1
+    src = rng.normal(size=(b, n, c)).astype(np.float32)
+    idx = np.cumsum(rng.integers(1, 5, size=(b, m)), axis=1).astype(np.int32)
+    ok = rng.random((b, m)) < 0.9
+    assert supports(m, n, tile=tile, window=2048)
+    out = np.asarray(monotone_gather(src, idx, ok, tile, 2048))
+    ref = oracle(src, idx, ok)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
