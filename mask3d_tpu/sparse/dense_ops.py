@@ -74,15 +74,21 @@ def occupancy(level: SparseLevel, grid_dims: Sequence[int], dtype=jnp.float32):
     return scatter_rows(ones, level, grid_dims)
 
 
-def _conv(x, w, strides, padding, transpose=False):
+def _conv(x, w, strides, padding, transpose=False, out_dtype=jnp.float32):
+    """MXU accumulation is always f32; `out_dtype` only sets the element
+    type the conv WRITES. Emitting bf16 directly (instead of f32 + a later
+    cast) halves the conv-output HBM traffic on the stride-1 grids — the
+    dominant write stream of the dense backbone — at the cost of applying
+    bias/mask after the single f32->bf16 rounding instead of before."""
     if transpose:
         return jax.lax.conv_transpose(
             x, w, strides=strides, padding=padding, dimension_numbers=_DN,
+            preferred_element_type=out_dtype,
         )
     return jax.lax.conv_general_dilated(
         x, w, window_strides=strides, padding=padding,
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dtype,
     )
 
 
@@ -94,10 +100,10 @@ def dense_conv_same(x, weight, occ, bias=None, compute_dtype=None):
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    out = _conv(x, w, (1, 1, 1), "SAME")
+    out = _conv(x, w, (1, 1, 1), "SAME", out_dtype=x.dtype)
     if bias is not None:
-        out = out + bias
-    return (out * occ).astype(x.dtype)
+        out = out + bias.astype(out.dtype)
+    return out * occ.astype(out.dtype)
 
 
 def dense_conv_same_zfold(x, weight, occ, bias=None, compute_dtype=None):
@@ -133,11 +139,11 @@ def dense_conv_same_zfold(x, weight, occ, bias=None, compute_dtype=None):
     out = jax.lax.conv_general_dilated(
         x.reshape(b, gx, gy, gz * cin), w2d, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     ).reshape(b, gx, gy, gz, cout)
     if bias is not None:
-        out = out + bias
-    return (out * occ).astype(x.dtype)
+        out = out + bias.astype(out.dtype)
+    return out * occ.astype(out.dtype)
 
 
 def dense_conv_down(x, weight, occ_coarse, bias=None, compute_dtype=None):
@@ -156,10 +162,10 @@ def dense_conv_down(x, weight, occ_coarse, bias=None, compute_dtype=None):
     )
     if any(p[1] for p in pads):
         x = jnp.pad(x, pads)
-    out = _conv(x, w, (2, 2, 2), "VALID")
+    out = _conv(x, w, (2, 2, 2), "VALID", out_dtype=x.dtype)
     if bias is not None:
-        out = out + bias
-    return (out * occ_coarse).astype(x.dtype)
+        out = out + bias.astype(out.dtype)
+    return out * occ_coarse.astype(out.dtype)
 
 
 def dense_conv_tr(x, weight, occ_fine, bias=None, compute_dtype=None):
@@ -173,14 +179,14 @@ def dense_conv_tr(x, weight, occ_fine, bias=None, compute_dtype=None):
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    out = _conv(x, w, (2, 2, 2), "VALID", transpose=True)
+    out = _conv(x, w, (2, 2, 2), "VALID", transpose=True, out_dtype=x.dtype)
     # Odd fine dims: the last coarse cell's high-half children fall past
     # the fine extent — slice them off.
     fx, fy, fz = occ_fine.shape[1:4]
     out = out[:, :fx, :fy, :fz]
     if bias is not None:
-        out = out + bias
-    return (out * occ_fine).astype(x.dtype)
+        out = out + bias.astype(out.dtype)
+    return out * occ_fine.astype(out.dtype)
 
 
 def dense_instance_norm(x, occ, gamma, beta, eps=1e-5):
