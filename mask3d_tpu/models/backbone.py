@@ -350,6 +350,14 @@ class Res16UNetBase(nn.Module):
             out = ctx.conv_down(x_in, w, fine_idx)
             return nn.relu(ctx.norm(out, g, b, fine_idx + 1))
 
+        # Phase markers for prefix-difference profiling (see
+        # `train/loop.py::measure_model_phases`): tiny reductions sown into
+        # "intermediates"; inert unless that collection is mutable.
+        def mark(name, t):
+            self.sow("intermediates", name, jnp.sum(t.astype(jnp.float32)))
+
+        mark("bb_stem", out_p1)
+
         e = self.EXPANSION
         out = down("conv1p1s2", out_p1, 0, self.INIT_DIM, self.INIT_DIM)
         out_b1p2 = self._blocks(ctx, 1, out, 1, self.INIT_DIM, p[0], lay[0])
@@ -362,6 +370,7 @@ class Res16UNetBase(nn.Module):
 
         out = down("conv4p8s2", out_b3p8, 3, p[2] * e, p[2] * e)
         out = self._blocks(ctx, 4, out, 4, p[2] * e, p[3], lay[3])
+        mark("bb_encoder", out)
 
         feature_maps = [ctx.rows(out, 4)]  # stride 16
 
@@ -386,10 +395,13 @@ class Res16UNetBase(nn.Module):
         out = ctx.cat(out, out_b1p2)
         out = self._blocks(ctx, 7, out, 1, p[6] + p[0] * e, p[6], lay[6])
         feature_maps.append(ctx.rows(out, 1))  # stride 2
+        mark("bb_dec_to_s2", out)
 
         out = up("convtr7p2s2", out, 1, p[6] * e, p[7])
+        mark("bb_convtr7", out)
         out = ctx.cat(out, out_p1)
         out = self._blocks(ctx, 8, out, 0, p[7] + self.INIT_DIM, p[7], lay[7])
+        mark("bb_stage8", out)
         out_rows = ctx.rows(out, 0)
         feature_maps.append(out_rows)  # stride 1
 

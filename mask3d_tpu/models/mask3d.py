@@ -472,6 +472,11 @@ class Mask3D(nn.Module):
         ).value
 
         # Positional encodings per sparse level (reference get_pos_encs).
+        # Only levels the decoder attends to need one (fm_level[hlevel]);
+        # in particular the full stride-1 PE (the largest by far) is dead
+        # unless hlevels includes the finest map. XLA would DCE it anyway —
+        # skipping it here keeps the profile markers honest too.
+        pe_levels = {fm_level[h] for h in self.hlevels}
         pe_pyr = []
         minmax_pyr = []
         for li in range(n_levels):
@@ -479,9 +484,11 @@ class Mask3D(nn.Module):
             minmax_pyr.append((mins, maxs))
             pe_pyr.append(
                 self._pos_enc(coords_pyr[li], mins, maxs, gauss_b)
+                if li in pe_levels else None
             )
         self.sow("intermediates", "pos_enc",
-                 sum(jnp.sum(p.astype(jnp.float32)) for p in pe_pyr))
+                 sum(jnp.sum(p.astype(jnp.float32))
+                     for p in pe_pyr if p is not None))
 
         # --- Query initialization (reference mask3d.py:306-376) ---
         sampled_coords = None
