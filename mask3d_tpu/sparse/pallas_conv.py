@@ -45,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mask3d_tpu.sparse import ops as _xla_ops
 
 
-def _kernel(K, W, bases_ref, idx_ref, ok_ref, w_ref, f_ref, out_ref,
+def _kernel(K, W, select, bases_ref, idx_ref, ok_ref, w_ref, f_ref, out_ref,
             fwin, sem, acc):
     """Grid (B, nT). Per step: T output rows of one item.
 
@@ -57,6 +57,15 @@ def _kernel(K, W, bases_ref, idx_ref, ok_ref, w_ref, f_ref, out_ref,
     VMEM. f_ref: bf16[B, N, Cin] in HBM/ANY. out block: f32[1, 1, T,
     Cout]. Scratch: fwin bf16[2, W, Cin], DMA semaphores [2], acc f32[T,
     Cout].
+
+    `select` picks how `window[loc[t]]` is realized per offset:
+      - "onehot": MXU one-hot matmul `[T, W] @ [W, C]` — costs W/Cout x the
+        weight matmul in FLOPs (the reason the sparse path loses to dense
+        at ~9% occupancy, docs/ARCHITECTURE.md FLOP ledger);
+      - "gather": Mosaic `tpu.dynamic_gather` (VPU, no MXU work). The
+        lowering only accepts the operand-batched same-shape form
+        `take_along_axis([W, C], [W, C], axis=0)`, so indices are padded
+        T->W and the first T gathered rows are used.
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -76,24 +85,35 @@ def _kernel(K, W, bases_ref, idx_ref, ok_ref, w_ref, f_ref, out_ref,
 
     dma(0, 0).start()
     acc[:] = jnp.zeros_like(acc)
-    col = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    if select == "onehot":
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
     for k in range(K):  # static unroll: K is 27 (or 125 for the stem conv)
         slot = k % 2
         if k + 1 < K:
             dma((k + 1) % 2, k + 1).start()
         dma(slot, k).wait()
         loc = idx_ref[0, 0, :, k] - bases_ref[tile_off + k]
-        sel = (col == loc[:, None]) & ok_ref[0, 0, :, k][:, None]
-        s = sel.astype(jnp.bfloat16)
-        g = jnp.dot(s, fwin[slot], preferred_element_type=jnp.float32)
+        ok_k = ok_ref[0, 0, :, k]
+        if select == "gather":
+            locw = jnp.where(ok_k, loc, 0)[:, None]  # [T, 1]
+            loc_full = jnp.pad(locw, ((0, W - T), (0, 0)))
+            idxm = jnp.broadcast_to(loc_full, (W, fwin.shape[-1]))
+            g_full = jnp.take_along_axis(fwin[slot], idxm, axis=0)
+            g = jnp.where(ok_k[:, None], g_full[:T], 0)
+        else:
+            sel = (col == loc[:, None]) & ok_k[:, None]
+            s = sel.astype(jnp.bfloat16)
+            g = jnp.dot(
+                s, fwin[slot], preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
         acc[:] += jnp.dot(
-            g.astype(jnp.bfloat16), w_ref[k],
-            preferred_element_type=jnp.float32,
+            g, w_ref[k], preferred_element_type=jnp.float32,
         )
     out_ref[0, 0] = acc[:]
 
 
-def _pallas_branch(feats, weight, idx_t, ok_t, bases, tile, window):
+def _pallas_branch(feats, weight, idx_t, ok_t, bases, tile, window,
+                   select):
     b, n, cin = feats.shape
     k = weight.shape[0]
     cout = weight.shape[-1]
@@ -120,7 +140,7 @@ def _pallas_branch(feats, weight, idx_t, ok_t, bases, tile, window):
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, k, window),
+        functools.partial(_kernel, k, window, select),
         out_shape=jax.ShapeDtypeStruct((b, nt, tile, cout), jnp.float32),
         grid_spec=grid_spec,
         # Tests run on the CPU backend via the Pallas interpreter; the
@@ -142,7 +162,7 @@ def _pallas_branch(feats, weight, idx_t, ok_t, bases, tile, window):
     return out.reshape(b, n, cout)
 
 
-def _forward(feats, weight, nbr_idx, nbr_ok, tile, window):
+def _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select):
     b, n, _ = feats.shape
     k = weight.shape[0]
     nt = n // tile
@@ -172,7 +192,7 @@ def _forward(feats, weight, nbr_idx, nbr_ok, tile, window):
             f = jnp.pad(f, ((0, 0), (0, 0), (0, c_pad)))
             w = jnp.pad(w, ((0, 0), (0, c_pad), (0, 0)))
         return _pallas_branch(
-            f, w, nbr_idx, nbr_ok, bases, tile, window
+            f, w, nbr_idx, nbr_ok, bases, tile, window, select
         )
 
     def slow(f, w):
@@ -183,9 +203,9 @@ def _forward(feats, weight, nbr_idx, nbr_ok, tile, window):
     return jax.lax.cond(all_hit, fast, slow, feats, weight)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def sparse_conv_pallas(feats, weight, nbr_idx, nbr_ok, tile=256,
-                       window=1024):
+                       window=1024, select="onehot"):
     """Sparse conv (same contract as `ops.sparse_conv`, bias-free) with the
     windowed Pallas forward. Returns f32 [B, N, Cout].
 
@@ -193,15 +213,15 @@ def sparse_conv_pallas(feats, weight, nbr_idx, nbr_ok, tile=256,
     bf16 compute, f32 accumulation (matches the TPU matmul default the
     rest of the stack uses).
     """
-    return _forward(feats, weight, nbr_idx, nbr_ok, tile, window)
+    return _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select)
 
 
-def _fwd(feats, weight, nbr_idx, nbr_ok, tile, window):
-    out = _forward(feats, weight, nbr_idx, nbr_ok, tile, window)
+def _fwd(feats, weight, nbr_idx, nbr_ok, tile, window, select):
+    out = _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select)
     return out, (feats, weight, nbr_idx, nbr_ok)
 
 
-def _bwd(tile, window, res, g):
+def _bwd(tile, window, select, res, g):
     feats, weight, nbr_idx, nbr_ok = res
     b, n, cin = feats.shape
     g = g.astype(jnp.float32)

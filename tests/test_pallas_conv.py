@@ -145,3 +145,24 @@ def test_backbone_gather_pallas_matches_gather():
     assert np.mean(diff) < 5e-3, np.mean(diff)
     assert np.quantile(diff, 0.999) < 5e-2, np.quantile(diff, 0.999)
     assert np.max(diff) < 0.3, np.max(diff)
+
+
+def test_forward_gather_select_matches_xla_oracle():
+    """select="gather" (Mosaic dynamic_gather selection) parity with the
+    XLA oracle — same contract as the one-hot select path."""
+    sb = _batch(n_cap=512)
+    level = sb.levels[0]
+    n = level.key.shape[1]
+    cin, cout = 8, 16
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.normal(size=(2, n, cin)), jnp.float32)
+    feats = jnp.where(level.valid[..., None], feats, 0)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)) * 0.1, jnp.float32)
+    idx, ok = sb.nbr_idx[0], sb.nbr_ok[0]
+
+    out_g = sparse_conv_pallas(feats, w, idx, ok, 128, 256, "gather")
+    out_x = sparse_conv(feats, w, idx, ok)
+    v = np.asarray(level.valid)
+    np.testing.assert_allclose(
+        np.asarray(out_g)[v], np.asarray(out_x)[v], rtol=2e-2, atol=2e-2
+    )
