@@ -131,5 +131,93 @@ def main():
               f"({w/dt/1e6:8.1f} M rows/s)")
 
 
+def conv_ab():
+    """Full windowed-conv A/B at flagship level-0 shape: select=onehot vs
+    select=gather vs the XLA gather formulation. Mirrors the realistic
+    surface-scene batch the 4.0x onehot number was measured on."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir", "/root/repo/.jax_cache_tpu"
+    )
+    from mask3d_tpu.sparse import build_sparse_batch
+    from mask3d_tpu.sparse.ops import sparse_conv
+    from mask3d_tpu.sparse.pallas_conv import sparse_conv_pallas
+
+    B, NCAP = 8, 65536
+    DIMS = (160, 160, 40)
+    rng = np.random.default_rng(0)
+    coords = np.zeros((B, NCAP, 3), np.int32)
+    counts = np.zeros(B, np.int32)
+    for b in range(B):
+        # surface-like: floor/ceiling slabs + wall sheets (monotone-window
+        # friendly like real scenes, unlike uniform noise)
+        pts = []
+        for z in (0, DIMS[2] - 1):
+            xy = rng.integers(0, DIMS[0], (12000, 2))
+            pts.append(np.concatenate(
+                [xy, np.full((len(xy), 1), z)], axis=1))
+        for x in rng.integers(0, DIMS[0], 12):
+            yz = np.stack(np.meshgrid(
+                np.arange(DIMS[1]), np.arange(DIMS[2]),
+                indexing="ij"), -1).reshape(-1, 2)
+            yz = yz[rng.random(len(yz)) < 0.5]
+            pts.append(np.concatenate(
+                [np.full((len(yz), 1), x), yz], axis=1))
+        pts = np.unique(np.concatenate(pts).astype(np.int32), axis=0)
+        if len(pts) > NCAP - 64:
+            pts = pts[rng.choice(len(pts), NCAP - 64, replace=False)]
+        key = (pts[:, 0] * DIMS[1] + pts[:, 1]) * DIMS[2] + pts[:, 2]
+        pts = pts[np.argsort(key)]
+        coords[b, : len(pts)] = pts
+        counts[b] = len(pts)
+    dims_arr = np.tile(np.array(DIMS, np.int32), (B, 1))
+    sb = build_sparse_batch(
+        coords, counts, dims_arr,
+        level_capacities=[32768, 16384, 8192, 4096],
+        conv1_kernel_size=3,
+    )
+    level = sb.levels[0]
+    idx, ok = sb.nbr_idx[0], sb.nbr_ok[0]
+    cin = cout = 96
+    feats = jnp.asarray(
+        rng.normal(size=(B, NCAP, cin)), jnp.bfloat16)
+    feats = jnp.where(level.valid[..., None], feats, 0)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)) * 0.1, jnp.float32)
+    print(f"rows/item: {counts.tolist()}")
+
+    variants = {
+        "pallas_onehot": jax.jit(lambda f, w: sparse_conv_pallas(
+            f, w, idx, ok, 256, 1024, "onehot")),
+        "pallas_gather": jax.jit(lambda f, w: sparse_conv_pallas(
+            f, w, idx, ok, 256, 1024, "gather")),
+        "xla_gather": jax.jit(lambda f, w: sparse_conv(
+            f, w, idx, ok, compute_dtype=jnp.bfloat16)),
+    }
+    ref = None
+    for name, fn in variants.items():
+        try:
+            out = jax.device_get(fn(feats, w))
+        except Exception as e:
+            print(f"{name:16s}: FAILED {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if ref is None:
+            ref = np.asarray(out, np.float32)
+            err = 0.0
+        else:
+            o = np.asarray(out, np.float32)
+            err = (np.abs(o - ref).max()
+                   / max(np.abs(ref).max(), 1e-6))
+        n_timed = 10
+        t0 = time.perf_counter()
+        for _ in range(n_timed):
+            out = fn(feats, w)
+        _ = jax.device_get(out)
+        dt = (time.perf_counter() - t0) / n_timed
+        print(f"{name:16s}: {dt*1e3:8.2f} ms/conv  rel_err={err:.2e}")
+
+
 if __name__ == "__main__":
     main()
+    conv_ab()
