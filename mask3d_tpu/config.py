@@ -136,6 +136,11 @@ class ModelConfig:
     # TPU-specific: fused Pallas masked cross-attention tile (0 = off);
     # K/V stream once through VMEM, no [B,h,Q,S] logits in HBM
     attention_pallas_tile: int = 0
+    # TPU-specific: selection mechanism of the windowed Pallas sparse conv
+    # (backbone_impl=gather_pallas): "onehot" (MXU one-hot matmul) or
+    # "gather" (Mosaic tpu.dynamic_gather — true sparse FLOPs, no MXU
+    # selection work; see sparse/pallas_conv.py)
+    pallas_conv_select: str = "onehot"
 
 
 @dataclass

@@ -59,17 +59,21 @@ class _GatherCtx:
     than the window) keep the XLA formulation.
     """
 
-    def __init__(self, sb: SparseBatch, compute_dtype, use_pallas=False):
+    def __init__(self, sb: SparseBatch, compute_dtype, use_pallas=False,
+                 pallas_select="onehot"):
         self.sb = sb
         self.dt = compute_dtype
         self.use_pallas = use_pallas
+        self.pallas_select = pallas_select
 
     def to_level(self, feats, level_idx):
         return feats  # rows are already per-level
 
     def _conv(self, feats, w, idx, ok, b):
         if self.use_pallas and pallas_conv.supports(feats.shape[1]):
-            out = pallas_conv.sparse_conv_pallas(feats, w, idx, ok)
+            out = pallas_conv.sparse_conv_pallas(
+                feats, w, idx, ok, select=self.pallas_select
+            )
             if b is not None:
                 out = out + b
             return out.astype(feats.dtype)
@@ -232,6 +236,7 @@ class Res16UNetBase(nn.Module):
     conv1_kernel_size: int = 5
     compute_dtype: Optional[Dtype] = None
     impl: str = "gather"  # "gather" | "gather_pallas" | "dense"
+    pallas_select: str = "onehot"  # windowed-conv selection (pallas_conv)
     sp_axis: Optional[str] = None  # sequence-parallel mesh axis (dense impl)
     PLANES: Sequence[int] = (32, 64, 128, 256, 256, 256, 256, 256)
     LAYERS: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2)
@@ -335,7 +340,8 @@ class Res16UNetBase(nn.Module):
             x = ctx.scatter(feats, 0)
         else:
             ctx = _GatherCtx(sb, self.compute_dtype,
-                             use_pallas=self.impl == "gather_pallas")
+                             use_pallas=self.impl == "gather_pallas",
+                             pallas_select=self.pallas_select)
             x = feats
 
         # --- Encoder (reference res16unet.py:244-267) ---

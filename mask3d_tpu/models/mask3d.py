@@ -302,6 +302,7 @@ class Mask3D(nn.Module):
     shared_decoder: bool = True
     backbone_name: str = "Res16UNet34C"
     backbone_impl: str = "gather"  # "gather" | "dense" (see backbone.py)
+    pallas_conv_select: str = "onehot"  # windowed-conv selection mechanism
     in_channels: int = 1
     conv1_kernel_size: int = 5
     compute_dtype: Optional[Any] = None
@@ -364,6 +365,7 @@ class Mask3D(nn.Module):
             conv1_kernel_size=self.conv1_kernel_size,
             compute_dtype=self.compute_dtype,
             impl=self.backbone_impl,
+            pallas_select=self.pallas_conv_select,
             sp_axis=self.sp_axis,
             name="backbone",
         )

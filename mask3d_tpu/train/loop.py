@@ -64,6 +64,7 @@ def make_model(cfg: Config) -> Mask3D:
         shared_decoder=cfg.model.shared_decoder,
         backbone_name=cfg.model.backbone,
         backbone_impl=cfg.model.backbone_impl,
+        pallas_conv_select=cfg.model.pallas_conv_select,
         in_channels=cfg.data.in_channels,
         conv1_kernel_size=cfg.model.conv1_kernel_size,
         compute_dtype=dt,
