@@ -112,12 +112,78 @@ def _kernel(K, W, select, bases_ref, idx_ref, ok_ref, w_ref, f_ref, out_ref,
     out_ref[0, 0] = acc[:]
 
 
+def _kernel_grouped(K, G, W, select, bases_ref, idx_ref, ok_ref, w_ref,
+                    f_ref, out_ref, fwin, sem, acc):
+    """Grouped-window variant: ONE DMA per dx-group instead of per offset.
+
+    `cube_offsets` enumerates x-major, so offsets k in [g*gsz, (g+1)*gsz)
+    share the same x displacement; their neighbor rows live within a
+    common window (x displacement dominates the row distance in x-major
+    sorted order — y/z displacements only shift by intra-slab occupancy).
+    DMA traffic per tile drops from K windows to G (9x for a 3^3 kernel),
+    and each window amortizes gsz select+matmul steps of compute, so the
+    double-buffered prefetch hides essentially all of it.
+
+    bases_ref: i32[B * nT * G] flat group-window starts. Other refs as in
+    `_kernel`.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    nt = pl.num_programs(1)
+    T = idx_ref.shape[2]
+    gsz = K // G
+    tile_off = (b * nt + i) * G
+
+    def dma(slot, g):
+        base = pl.multiple_of(bases_ref[tile_off + g], 16)
+        return pltpu.make_async_copy(
+            f_ref.at[b, pl.ds(base, W), :],
+            fwin.at[slot],
+            sem.at[slot],
+        )
+
+    dma(0, 0).start()
+    acc[:] = jnp.zeros_like(acc)
+    if select == "onehot":
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, W), 1)
+    for g in range(G):
+        slot = g % 2
+        if g + 1 < G:
+            dma((g + 1) % 2, g + 1).start()
+        dma(slot, g).wait()
+        for j in range(gsz):
+            k = g * gsz + j
+            loc = idx_ref[0, 0, :, k] - bases_ref[tile_off + g]
+            ok_k = ok_ref[0, 0, :, k]
+            if select == "gather":
+                locw = jnp.where(ok_k, loc, 0)[:, None]
+                loc_full = jnp.pad(locw, ((0, W - T), (0, 0)))
+                idxm = jnp.broadcast_to(loc_full, (W, fwin.shape[-1]))
+                g_full = jnp.take_along_axis(fwin[slot], idxm, axis=0)
+                gv = jnp.where(ok_k[:, None], g_full[:T], 0)
+            else:
+                sel = (col == loc[:, None]) & ok_k[:, None]
+                s = sel.astype(jnp.bfloat16)
+                gv = jnp.dot(
+                    s, fwin[slot], preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16)
+            acc[:] += jnp.dot(
+                gv, w_ref[k], preferred_element_type=jnp.float32,
+            )
+    out_ref[0, 0] = acc[:]
+
+
 def _pallas_branch(feats, weight, idx_t, ok_t, bases, tile, window,
-                   select):
+                   select, window_mode="per_offset"):
     b, n, cin = feats.shape
     k = weight.shape[0]
     cout = weight.shape[-1]
     nt = n // tile
+    if window_mode == "grouped_dx":
+        g = round(k ** (1.0 / 3.0))
+        kern = functools.partial(_kernel_grouped, k, g, window, select)
+    else:
+        kern = functools.partial(_kernel, k, window, select)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nt),
@@ -140,7 +206,7 @@ def _pallas_branch(feats, weight, idx_t, ok_t, bases, tile, window,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, k, window, select),
+        kern,
         out_shape=jax.ShapeDtypeStruct((b, nt, tile, cout), jnp.float32),
         grid_spec=grid_spec,
         # Tests run on the CPU backend via the Pallas interpreter; the
@@ -162,7 +228,8 @@ def _pallas_branch(feats, weight, idx_t, ok_t, bases, tile, window,
     return out.reshape(b, n, cout)
 
 
-def _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select):
+def _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select,
+             window_mode="per_offset"):
     b, n, _ = feats.shape
     k = weight.shape[0]
     nt = n // tile
@@ -174,12 +241,25 @@ def _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select):
     masked = jnp.where(ok_t, idx_t, n - 1)
     bases = jnp.minimum(jnp.min(masked, axis=2), n - window)
     bases = jnp.maximum(bases, 0).astype(jnp.int32)
+    if window_mode == "grouped_dx":
+        # One window per dx-group (x-major offset enumeration): the group
+        # base is the min over its offsets' bases.
+        g = round(k ** (1.0 / 3.0))
+        bases = jnp.min(
+            bases.reshape(b, nt, g, k // g), axis=3
+        )
+        bases = jnp.minimum(bases, n - window)
+        per_off = jnp.repeat(bases, k // g, axis=2)
+    else:
+        per_off = bases
+    bases = jnp.maximum(bases, 0).astype(jnp.int32)
     # bf16 sublane tiling: the kernel asserts 16-divisible DMA starts.
     bases = bases & ~15
+    per_off = jnp.maximum(per_off, 0).astype(jnp.int32) & ~15
     # Every valid neighbor must fall inside its tile's window, else the
     # premise fails for this input and we take the exact XLA fallback.
     all_hit = jnp.all(
-        jnp.where(ok_t, idx_t - bases[:, :, None, :] < window, True)
+        jnp.where(ok_t, idx_t - per_off[:, :, None, :] < window, True)
     )
 
     def fast(f, w):
@@ -192,7 +272,7 @@ def _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select):
             f = jnp.pad(f, ((0, 0), (0, 0), (0, c_pad)))
             w = jnp.pad(w, ((0, 0), (0, c_pad), (0, 0)))
         return _pallas_branch(
-            f, w, nbr_idx, nbr_ok, bases, tile, window, select
+            f, w, nbr_idx, nbr_ok, bases, tile, window, select, window_mode
         )
 
     def slow(f, w):
@@ -203,9 +283,10 @@ def _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select):
     return jax.lax.cond(all_hit, fast, slow, feats, weight)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def sparse_conv_pallas(feats, weight, nbr_idx, nbr_ok, tile=256,
-                       window=1024, select="onehot"):
+                       window=1024, select="onehot",
+                       window_mode="per_offset"):
     """Sparse conv (same contract as `ops.sparse_conv`, bias-free) with the
     windowed Pallas forward. Returns f32 [B, N, Cout].
 
@@ -213,15 +294,17 @@ def sparse_conv_pallas(feats, weight, nbr_idx, nbr_ok, tile=256,
     bf16 compute, f32 accumulation (matches the TPU matmul default the
     rest of the stack uses).
     """
-    return _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select)
+    return _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select,
+                    window_mode)
 
 
-def _fwd(feats, weight, nbr_idx, nbr_ok, tile, window, select):
-    out = _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select)
+def _fwd(feats, weight, nbr_idx, nbr_ok, tile, window, select, window_mode):
+    out = _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select,
+                   window_mode)
     return out, (feats, weight, nbr_idx, nbr_ok)
 
 
-def _bwd(tile, window, select, res, g):
+def _bwd(tile, window, select, window_mode, res, g):
     feats, weight, nbr_idx, nbr_ok = res
     b, n, cin = feats.shape
     g = g.astype(jnp.float32)

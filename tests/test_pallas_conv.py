@@ -166,3 +166,28 @@ def test_forward_gather_select_matches_xla_oracle():
     np.testing.assert_allclose(
         np.asarray(out_g)[v], np.asarray(out_x)[v], rtol=2e-2, atol=2e-2
     )
+
+
+def test_forward_grouped_window_matches_xla_oracle():
+    """window_mode="grouped_dx" (one DMA per dx-group) parity with the XLA
+    oracle, under both selection mechanisms."""
+    sb = _batch(n_cap=512)
+    level = sb.levels[0]
+    n = level.key.shape[1]
+    cin, cout = 8, 16
+    rng = np.random.default_rng(11)
+    feats = jnp.asarray(rng.normal(size=(2, n, cin)), jnp.float32)
+    feats = jnp.where(level.valid[..., None], feats, 0)
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)) * 0.1, jnp.float32)
+    idx, ok = sb.nbr_idx[0], sb.nbr_ok[0]
+
+    out_x = sparse_conv(feats, w, idx, ok)
+    v = np.asarray(level.valid)
+    for select in ("onehot", "gather"):
+        out_g = sparse_conv_pallas(
+            feats, w, idx, ok, 128, 256, select, "grouped_dx"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_g)[v], np.asarray(out_x)[v],
+            rtol=2e-2, atol=2e-2, err_msg=select,
+        )
