@@ -187,11 +187,38 @@ def conv_ab():
     w = jnp.asarray(rng.normal(size=(27, cin, cout)) * 0.1, jnp.float32)
     print(f"rows/item: {counts.tolist()}")
 
+    # Report whether each config's window premise holds (else the timing
+    # below measures the XLA fallback, not the kernel).
+    idx_h, ok_h = np.asarray(idx), np.asarray(ok)
+    for tile, window, grouped in (
+        (256, 1024, False), (256, 1024, True), (256, 2048, True)
+    ):
+        nt = NCAP // tile
+        it = idx_h.reshape(B, nt, tile, 27)
+        ot = ok_h.reshape(B, nt, tile, 27)
+        masked = np.where(ot, it, NCAP - 1)
+        bases = np.maximum(
+            np.minimum(masked.min(axis=2), NCAP - window), 0)
+        if grouped:
+            bases = np.minimum(
+                bases.reshape(B, nt, 3, 9).min(axis=3), NCAP - window)
+            bases = np.repeat(bases, 9, axis=2)
+        per = (np.maximum(bases, 0) & ~15)[:, :, None, :]
+        hit = bool(np.where(ot, it - per < window, True).all())
+        print(f"premise tile={tile} W={window} grouped={grouped}: "
+              f"hit={hit}")
+
     variants = {
         "pallas_onehot": jax.jit(lambda f, w: sparse_conv_pallas(
             f, w, idx, ok, 256, 1024, "onehot")),
         "pallas_gather": jax.jit(lambda f, w: sparse_conv_pallas(
             f, w, idx, ok, 256, 1024, "gather")),
+        "grp_onehot_w1024": jax.jit(lambda f, w: sparse_conv_pallas(
+            f, w, idx, ok, 256, 1024, "onehot", "grouped_dx")),
+        "grp_gather_w1024": jax.jit(lambda f, w: sparse_conv_pallas(
+            f, w, idx, ok, 256, 1024, "gather", "grouped_dx")),
+        "grp_gather_w2048": jax.jit(lambda f, w: sparse_conv_pallas(
+            f, w, idx, ok, 256, 2048, "gather", "grouped_dx")),
         "xla_gather": jax.jit(lambda f, w: sparse_conv(
             f, w, idx, ok, compute_dtype=jnp.bfloat16)),
     }
