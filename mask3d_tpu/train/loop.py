@@ -245,7 +245,10 @@ def make_train_step(cfg: Config, model: Mask3D, criterion: SetCriterion,
         losses["batch_overflow"] = _batch_overflow(sb)
         return grads, losses, preds
 
-    @jax.jit
+    # Donating `state` lets XLA update params/opt-state in place: peak HBM
+    # drops by one full copy of (params + adam moments) ≈ 3x param bytes,
+    # which is what bounds the trainable batch/grid size on one chip.
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: DeviceBatch
                    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         rng, k_sample, k_queries = jax.random.split(state.rng, 3)

@@ -118,11 +118,13 @@ def test_train_step_data_parallel(batch):
     state, model, criterion, tx = init_state(cfg, batch.device)
     train_step = make_train_step(cfg, model, criterion, tx)
 
-    _, ref_losses, _p = train_step(state, batch.device)
-
+    # replicate BEFORE the single-device step: train_step donates its
+    # input state, so `state`'s buffers are deleted after the call
     mesh = make_mesh(2)
     sharded = shard_batch(batch.device, mesh)
     rep_state = replicate(state, mesh)
+
+    _, ref_losses, _p = train_step(state, batch.device)
     _, dp_losses, _p = train_step(rep_state, sharded)
     np.testing.assert_allclose(
         float(dp_losses["loss"]), float(ref_losses["loss"]), rtol=1e-4

@@ -301,12 +301,15 @@ def test_capacity_overflow_skips_update(data_root, tmp_path):
     cfg = small_cfg(data_root, str(tmp_path / "saved_ovf_ctl"))
     state, model, criterion, tx = init_state(cfg, batch)
     step = make_train_step(cfg, model, criterion, tx)
+    # the step DONATES its input state (in-place param/opt updates on
+    # device) — snapshot the old params to host before stepping
+    p0 = [np.asarray(a) for a in jax.tree_util.tree_leaves(state.params)]
+    step0 = int(state.step)
     new_state, losses, _ = step(state, batch)
     assert int(losses["batch_overflow"]) == 0
-    p0 = jax.tree_util.tree_leaves(state.params)
     p1 = jax.tree_util.tree_leaves(new_state.params)
     assert any(
-        not np.array_equal(np.asarray(a), np.asarray(b))
+        not np.array_equal(a, np.asarray(b))
         for a, b in zip(p0, p1)
     ), "control step did not update params"
 
@@ -315,14 +318,13 @@ def test_capacity_overflow_skips_update(data_root, tmp_path):
     cfg2.data.level_cap_ratios = (0.01, 0.008, 0.008, 0.008)
     state2, model2, criterion2, tx2 = init_state(cfg2, batch)
     step2 = make_train_step(cfg2, model2, criterion2, tx2)
+    q0 = [np.asarray(a) for a in jax.tree_util.tree_leaves(state2.params)]
+    s2_step = int(state2.step)
     new2, losses2, _ = step2(state2, batch)
     assert int(losses2["batch_overflow"]) > 0
-    for a, b in zip(
-        jax.tree_util.tree_leaves(state2.params),
-        jax.tree_util.tree_leaves(new2.params),
-    ):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert int(new2.step) == int(state2.step) + 1
+    for a, b in zip(q0, jax.tree_util.tree_leaves(new2.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert int(new2.step) == s2_step + 1
 
 
 def test_measure_runtime_segment_contract(data_root, tmp_path):
