@@ -111,7 +111,9 @@ def main(batch_size: int = 8):
 
     # Scenes sized like Structured3D at rasterization 150mm (~40k voxels).
     rng = np.random.default_rng(0)
-    collate = VoxelizeCollate(point_bucket_multiple=65536)
+    collate = VoxelizeCollate(
+        point_bucket_multiple=int(cfg.data.point_bucket_multiple)
+    )
 
     def make_items(seed):
         r = np.random.default_rng(seed)
@@ -128,8 +130,20 @@ def main(batch_size: int = 8):
     # thread as in production.
     all_items = [make_items(s) for s in range(NUM_BATCHES)]
 
-    warm_host = collate(all_items[0])
+    # Collate everything once up-front: discovers every bucket shape so each
+    # shape's executable is compiled+warmed BEFORE the timed window (the
+    # feeders re-collate inside the window — that work stays measured).
+    warm_hosts = [collate(items) for items in all_items]
+    warm_host = max(warm_hosts, key=lambda h: h.device.coords.shape[1])
     batch = warm_host.device
+    # One static grid bucket must cover every batch in the run (the jitted
+    # forward closes over it): take the elementwise max over batches.
+    grid_dims = tuple(
+        tuple(max(h.device.grid_dims[li][a] for h in warm_hosts)
+              for a in range(3))
+        for li in range(len(batch.grid_dims))
+    )
+    batch = batch.replace(grid_dims=grid_dims)
     state, model, _, _ = init_state(cfg, batch)
 
     # Transfer layout: the whole batch rides in ONE uint8 buffer at ~1 byte
@@ -142,12 +156,12 @@ def main(batch_size: int = 8):
     # Measured: the input device_put is bandwidth-bound through the tunnel
     # and serializes with compute (~60 ms/batch at i32 keys); this cuts it
     # to ~15 ms.
+    from functools import partial
+
     from mask3d_tpu.data.transfer import decode_keys_u8, encode_keys_u8
 
-    n_cap = int(batch.coords.shape[1])
-
-    @jax.jit
-    def infer(params, buffers, buf):
+    @partial(jax.jit, static_argnums=(3,))
+    def infer(params, buffers, buf, n_cap):
         keys, counts, dims = decode_keys_u8(buf, batch_size, n_cap)
         coords = unpack_keys(keys, dims)
         rows = jnp.arange(keys.shape[1], dtype=jnp.int32)[None]
@@ -169,13 +183,19 @@ def main(batch_size: int = 8):
         keys = pack_keys(
             np.asarray(b.coords), np.asarray(b.dims)[:, None, :]
         ).astype(np.int32)
-        return encode_keys_u8(keys, b.counts, b.dims)
+        return encode_keys_u8(keys, b.counts, b.dims), int(b.coords.shape[1])
 
     def run_one(args):
-        return infer(state.params, state.buffers, args)
+        buf, n_cap = args
+        return infer(state.params, state.buffers, buf, n_cap)
 
-    # Warmup / compile.
-    _ = jax.device_get(run_one(host_args(warm_host.device))[0])
+    # Warmup / compile every bucket shape seen in the run.
+    for cap in sorted({int(h.device.coords.shape[1]) for h in warm_hosts}):
+        wh = next(
+            h for h in warm_hosts if int(h.device.coords.shape[1]) == cap
+        )
+        _ = jax.device_get(run_one(host_args(wh.device))[0])
+    del warm_hosts
 
     # Thread layout (measured, see docs/ARCHITECTURE.md):
     # - feeder threads collate (host CPU only, no tunnel RPCs);
@@ -198,8 +218,8 @@ def main(batch_size: int = 8):
 
     def stager():
         for _ in range(NUM_BATCHES):
-            host, buf = q.get()
-            sq.put((host, jax.device_put(buf)))
+            host, (buf, n_cap) = q.get()
+            sq.put((host, (jax.device_put(buf), n_cap)))
 
     n_points = 0
     fetched = []
