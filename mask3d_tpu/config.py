@@ -131,8 +131,11 @@ class ModelConfig:
     # (jax.checkpoint) — large-batch/large-grid training memory knob
     remat_backbone: bool = False
     # TPU-specific: cross-attention key-chunk size for the online-softmax
-    # (flash) schedule on full-level eval memories; 0 = one-shot softmax
-    attention_chunk: int = 0
+    # (flash) schedule on full-level eval memories; 0 = one-shot softmax.
+    # Engages only when S % chunk == 0 and S >= 2*chunk (the big eval
+    # levels); measured +4% end-to-end at 8192 on v5e (bench.py A/B,
+    # docs/ARCHITECTURE.md) vs the one-shot [B,h,Q,S] logits
+    attention_chunk: int = 8192
     # TPU-specific: fused Pallas masked cross-attention tile (0 = off);
     # K/V stream once through VMEM, no [B,h,Q,S] logits in HBM
     attention_pallas_tile: int = 0
