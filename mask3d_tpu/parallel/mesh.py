@@ -43,11 +43,19 @@ def shard_batch(batch, mesh: Mesh, axis: str = "dp"):
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (parameters, optimizer state) over the mesh."""
+    """Replicate a pytree (parameters, optimizer state) over the mesh.
+
+    Always returns FRESH buffers: `jax.device_put` may alias its input
+    when the placement is already compatible (e.g. scalars), and the
+    donating `train_step` would then delete the caller's arrays through
+    the alias (jax.jit donate_argnums in train/loop.py).
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree
-    )
+    shardings = jax.tree_util.tree_map(lambda _: sharding, tree)
+    # One jitted identity over the whole tree: a non-donating jit's
+    # outputs never alias its inputs (device_put may hand back the same
+    # buffer for already-compatible leaves, e.g. scalars).
+    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
 
 
 def make_mesh_2d(n_dp: int, n_sp: int,

@@ -118,8 +118,8 @@ def test_train_step_data_parallel(batch):
     state, model, criterion, tx = init_state(cfg, batch.device)
     train_step = make_train_step(cfg, model, criterion, tx)
 
-    # replicate BEFORE the single-device step: train_step donates its
-    # input state, so `state`'s buffers are deleted after the call
+    # replicate BEFORE the single-device step (train_step donates its
+    # input state; replicate guarantees owned buffers)
     mesh = make_mesh(2)
     sharded = shard_batch(batch.device, mesh)
     rep_state = replicate(state, mesh)
