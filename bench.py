@@ -94,7 +94,6 @@ def main(batch_size: int = 8):
     from mask3d_tpu.config import Config, apply_overrides
     from mask3d_tpu.data import VoxelizeCollate, make_synthetic_scene
     from mask3d_tpu.sparse import build_sparse_batch, unpack_keys
-    from mask3d_tpu.sparse.core import pack_keys
     from mask3d_tpu.train.loop import _sb_kwargs, init_state, level_capacities
 
     cfg = Config()  # full-size flagship (hidden 128, Q 25, Res16UNet34C)
@@ -158,7 +157,7 @@ def main(batch_size: int = 8):
     # to ~15 ms.
     from functools import partial
 
-    from mask3d_tpu.data.transfer import decode_keys_u8, encode_keys_u8
+    from mask3d_tpu.data.transfer import decode_keys_u8, encode_batch_u8
 
     @partial(jax.jit, static_argnums=(3,))
     def infer(params, buffers, buf, n_cap):
@@ -180,10 +179,8 @@ def main(batch_size: int = 8):
         return out.pred_class, out.pred_masks
 
     def host_args(b):
-        keys = pack_keys(
-            np.asarray(b.coords), np.asarray(b.dims)[:, None, :]
-        ).astype(np.int32)
-        return encode_keys_u8(keys, b.counts, b.dims), int(b.coords.shape[1])
+        buf = encode_batch_u8(np.asarray(b.coords), b.counts, b.dims)
+        return buf, int(b.coords.shape[1])
 
     def run_one(args):
         buf, n_cap = args
@@ -216,10 +213,33 @@ def main(batch_size: int = 8):
             host = collate(items)
             q.put((host, host_args(host.device)))
 
+    sacct = {"feed_wait": 0.0, "put": 0.0, "backpressure": 0.0}
+
     def stager():
         for _ in range(NUM_BATCHES):
+            t = time.perf_counter()
             host, (buf, n_cap) = q.get()
-            sq.put((host, (jax.device_put(buf), n_cap)))
+            t1 = time.perf_counter()
+            sacct["feed_wait"] += t1 - t
+            dbuf = jax.device_put(buf)
+            t2 = time.perf_counter()
+            sacct["put"] += t2 - t1
+            sq.put((host, (dbuf, n_cap)))
+            sacct["backpressure"] += time.perf_counter() - t2
+
+    # MASK3D_BENCH_TRACE=1: account the main thread's blocked time per phase
+    # (queue starvation vs dispatch RPC vs fetch RPC) to locate pipeline
+    # bubbles — the gap between device-forward time and end-to-end time.
+    trace = bool(os.environ.get("MASK3D_BENCH_TRACE"))
+    acct = {"starve": 0.0, "dispatch": 0.0, "fetch": 0.0}
+
+    def _timed(key, fn, *a):
+        if not trace:
+            return fn(*a)
+        t = time.perf_counter()
+        out = fn(*a)
+        acct[key] += time.perf_counter() - t
+        return out
 
     n_points = 0
     fetched = []
@@ -234,14 +254,31 @@ def main(batch_size: int = 8):
     st = threading.Thread(target=stager, daemon=True)
     st.start()
     for _ in range(NUM_BATCHES):
-        host, args = sq.get()
+        host, args = _timed("starve", sq.get)
         n_points += int(np.asarray(host.device.counts).sum())
-        pending.append(run_one(args))
+        pending.append(_timed("dispatch", run_one, args))
         if len(pending) > LAG:
-            fetched.append(jax.device_get(pending.pop(0)[0]))
+            fetched.append(
+                _timed("fetch", jax.device_get, pending.pop(0)[0])
+            )
     while pending:
-        fetched.append(jax.device_get(pending.pop(0)[0]))
+        fetched.append(_timed("fetch", jax.device_get, pending.pop(0)[0]))
     total_time = time.perf_counter() - t0
+    if trace:
+        other = total_time - sum(acct.values())
+        print(
+            "# main-thread accounting (ms/batch): "
+            + ", ".join(
+                f"{k}={v / NUM_BATCHES * 1e3:.1f}" for k, v in acct.items()
+            )
+            + f", other={other / NUM_BATCHES * 1e3:.1f}"
+        )
+        print(
+            "# stager accounting (ms/batch): "
+            + ", ".join(
+                f"{k}={v / NUM_BATCHES * 1e3:.1f}" for k, v in sacct.items()
+            )
+        )
     assert len(fetched) == NUM_BATCHES
     for th in feeders + [st]:
         th.join()

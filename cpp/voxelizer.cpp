@@ -134,4 +134,58 @@ int downsample_f64(const double* coords, int64_t n, double voxel_size,
   return out_n;
 }
 
+// Fused pack_keys + u8-delta transfer encoding (mask3d_tpu/data/transfer.py
+// ::encode_keys_u8 semantics, byte-identical output buffer):
+//   out = [B*N u8 deltas][esc_cap (item,pos,value) i32 records][B i32 counts
+//         | B*3 i32 dims]
+// coords: i32[B*N*3] sorted ascending by key within the first counts[b] rows
+// of each item (the voxelizer's output order). Returns the number of escape
+// records used, -1 if they exceed esc_cap, -2 if keys are not sorted.
+int pack_encode_u8(const int32_t* coords, const int32_t* counts,
+                   const int32_t* dims, int64_t b, int64_t n,
+                   int64_t esc_cap, uint8_t* out) {
+  uint8_t* deltas = out;
+  int32_t* records = reinterpret_cast<int32_t*>(out + b * n);
+  int32_t* tail = records + esc_cap * 3;
+  int64_t n_esc = 0;
+  for (int64_t i = 0; i < b; ++i) {
+    const int64_t dy = dims[i * 3 + 1], dz = dims[i * 3 + 2];
+    const int64_t cnt = counts[i];
+    int64_t prev = 0;
+    for (int64_t j = 0; j < n; ++j) {
+      int64_t d = 0;
+      if (j < cnt) {
+        const int32_t* c = coords + (i * n + j) * 3;
+        const int64_t key = (static_cast<int64_t>(c[0]) * dy + c[1]) * dz +
+                            c[2];
+        d = key - prev;
+        prev = key;
+        if (d < 0) return -2;
+      }
+      if (d >= 255) {
+        if (n_esc >= esc_cap) return -1;
+        records[n_esc * 3 + 0] = static_cast<int32_t>(i);
+        records[n_esc * 3 + 1] = static_cast<int32_t>(j);
+        records[n_esc * 3 + 2] = static_cast<int32_t>(d);
+        ++n_esc;
+        deltas[i * n + j] = 255;
+      } else {
+        deltas[i * n + j] = static_cast<uint8_t>(d);
+      }
+    }
+  }
+  for (int64_t e = n_esc; e < esc_cap; ++e) {
+    records[e * 3 + 0] = 0;
+    records[e * 3 + 1] = static_cast<int32_t>(n);  // dropped by the scatter
+    records[e * 3 + 2] = 0;
+  }
+  for (int64_t i = 0; i < b; ++i) {
+    tail[i * 4 + 0] = counts[i];
+    tail[i * 4 + 1] = dims[i * 3 + 0];
+    tail[i * 4 + 2] = dims[i * 3 + 1];
+    tail[i * 4 + 3] = dims[i * 3 + 2];
+  }
+  return static_cast<int>(n_esc);
+}
+
 }  // extern "C"

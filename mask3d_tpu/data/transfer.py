@@ -73,6 +73,27 @@ def encode_keys_u8(keys, counts, dims, escape_capacity: int = 4096):
     )
 
 
+def encode_batch_u8(coords, counts, dims, escape_capacity: int = 4096):
+    """pack_keys + `encode_keys_u8` from batch voxel coords in one step.
+
+    coords i32[B, N, 3] sorted by linearized key within the first counts[b]
+    rows (the collator's order). Uses the fused C++ pass when available
+    (~10x faster on a 1-core host; byte-identical output, differential test
+    in tests/test_data_io.py), else the numpy path.
+    """
+    from mask3d_tpu.native import pack_encode_u8_native
+
+    out = pack_encode_u8_native(coords, counts, dims, escape_capacity)
+    if out is not None:
+        return out
+    from mask3d_tpu.sparse.core import pack_keys
+
+    keys = pack_keys(
+        np.asarray(coords), np.asarray(dims)[:, None, :]
+    ).astype(np.int32)
+    return encode_keys_u8(keys, counts, dims, escape_capacity)
+
+
 def _bitcast_i32(u8_flat, shape):
     return jax.lax.bitcast_convert_type(
         u8_flat.reshape(shape + (4,)), jnp.int32

@@ -69,6 +69,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_double,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.pack_encode_u8.restype = ctypes.c_int
+        lib.pack_encode_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -93,6 +99,34 @@ def voxelize_native(coordinates: np.ndarray):
         _ptr(dims, ctypes.c_int32),
     )
     return out_coords[:m], keep[:m], dims
+
+
+def pack_encode_u8_native(coords: np.ndarray, counts: np.ndarray,
+                          dims: np.ndarray, escape_capacity: int = 4096):
+    """C++ fused pack_keys + `transfer.encode_keys_u8`; None if unavailable.
+
+    coords i32[B, N, 3] sorted by key within counts; returns the uint8
+    transfer buffer (byte-identical to the numpy path) or raises ValueError
+    on escape-table overflow / unsorted keys, mirroring encode_keys_u8.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "pack_encode_u8"):
+        return None
+    c = np.ascontiguousarray(coords, np.int32)
+    cnt = np.ascontiguousarray(counts, np.int32)
+    dm = np.ascontiguousarray(dims, np.int32)
+    b, n = c.shape[0], c.shape[1]
+    out = np.empty(b * n + escape_capacity * 12 + b * 16, np.uint8)
+    rc = lib.pack_encode_u8(
+        _ptr(c, ctypes.c_int32), _ptr(cnt, ctypes.c_int32),
+        _ptr(dm, ctypes.c_int32), b, n, escape_capacity,
+        _ptr(out, ctypes.c_uint8),
+    )
+    if rc == -1:
+        raise ValueError(f"escapes exceed capacity {escape_capacity}")
+    if rc == -2:
+        raise ValueError("keys not sorted ascending within counts")
+    return out
 
 
 def downsample_native(coords: np.ndarray, voxel_size: float):

@@ -224,3 +224,53 @@ def test_key_transfer_codec_roundtrip():
     with pytest.raises(ValueError, match="escape"):
         encode_keys_u8(huge, np.array([n], np.int32),
                        np.ones((1, 3), np.int32), escape_capacity=4)
+
+
+def test_native_pack_encode_matches_numpy():
+    """C++ fused pack+encode (`native.pack_encode_u8`) is byte-identical to
+    pack_keys + encode_keys_u8 on random sorted voxel batches."""
+    import pytest
+
+    from mask3d_tpu.data.transfer import encode_keys_u8
+    from mask3d_tpu.native import pack_encode_u8_native
+    from mask3d_tpu.sparse.core import pack_keys
+
+    if pack_encode_u8_native(
+        np.zeros((1, 4, 3), np.int32), np.array([1], np.int32),
+        np.ones((1, 3), np.int32),
+    ) is None:
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        b, n = 4, 1024
+        dims = rng.integers(8, 300, size=(b, 3)).astype(np.int32)
+        coords = np.zeros((b, n, 3), np.int32)
+        counts = rng.integers(0, n + 1, size=b).astype(np.int32)
+        counts[0] = n  # full item
+        for i in range(b):
+            c = counts[i]
+            if c == 0:
+                continue
+            cells = int(dims[i].prod())
+            keys = np.sort(
+                rng.choice(cells, size=min(int(c), cells), replace=False)
+            )
+            counts[i] = len(keys)
+            z = keys % dims[i, 2]
+            y = (keys // dims[i, 2]) % dims[i, 1]
+            x = keys // (dims[i, 2] * dims[i, 1])
+            coords[i, : len(keys)] = np.stack([x, y, z], axis=-1)
+        ref_keys = pack_keys(coords, dims[:, None, :]).astype(np.int32)
+        ref = encode_keys_u8(ref_keys, counts, dims)
+        got = pack_encode_u8_native(coords, counts, dims)
+        np.testing.assert_array_equal(got, ref)
+
+    # escape overflow raises like the numpy path
+    big = np.zeros((1, 64, 3), np.int32)
+    big[0, :, 0] = np.arange(64) * 5  # delta 5*dy*dz >= 255
+    with pytest.raises(ValueError, match="escape"):
+        pack_encode_u8_native(
+            big, np.array([64], np.int32),
+            np.array([[320, 10, 10]], np.int32), escape_capacity=4,
+        )
