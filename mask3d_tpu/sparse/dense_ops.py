@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from mask3d_tpu.sparse.core import SparseLevel
+from mask3d_tpu.sparse import pallas_gather
 
 _DN = ("NHWDC", "HWDIO", "NHWDC")  # 3 spatial dims, feature-last
 
@@ -56,13 +57,55 @@ def scatter_rows(feats, level: SparseLevel, grid_dims: Sequence[int]):
     return flat[:, :cells].reshape(b, gx, gy, gz, c)
 
 
-def gather_rows(dense, level: SparseLevel, grid_dims: Sequence[int]):
-    """[B, Gx, Gy, Gz, C] -> [B, N, C] rows of this level (padding zeroed)."""
+_GATHER_TILE = 128
+
+
+def _auto_window(cells: int, n_rows: int) -> tuple:
+    """Static (W1, W2) windows for the monotone-gather fast path: W1 covers
+    the measured ~p95 per-tile key span of room scenes at tile 128
+    (docs/ARCHITECTURE.md), W1+W2 the max with ~1.2-2.5x headroom; a batch
+    violating W1+W2 falls back to the exact XLA gather."""
+    ratio = cells / n_rows
+    if ratio >= 3.0:
+        return (1792, 2048)
+    if ratio >= 1.0:
+        return (768, 1024)
+    if ratio >= 0.2:
+        return (384, 512)
+    return (256, 256)
+
+
+def gather_rows(dense, level: SparseLevel, grid_dims: Sequence[int],
+                monotone: bool | None = None):
+    """[B, Gx, Gy, Gz, C] -> [B, N, C] rows of this level (padding zeroed).
+
+    `monotone=None` auto-selects the Pallas monotone-gather kernel on TPU
+    (static keys ascend per item — `static_keys` is lexicographic in
+    (x, y, z)); XLA's row gather runs at ~65M rows/s regardless of width,
+    while the windowed one-hot select rides the MXU.
+    """
     b = dense.shape[0]
     c = dense.shape[-1]
+    n = level.valid.shape[1]
     cells = grid_dims[0] * grid_dims[1] * grid_dims[2]
     key = jnp.clip(static_keys(level, grid_dims), 0, cells - 1)
     flat = dense.reshape(b, cells, c)
+    if monotone is None:
+        # Default OFF: measured on v5e (2026-08-18), the windowed one-hot
+        # kernel beats the raw XLA gather per-op (4.2 vs 7.9 ms on the
+        # level-0 tap) but the Mosaic DMA constraints force a channel pad
+        # to 128 lanes plus a {2,0,1}->{2,1,0} relayout copy, and the
+        # lax.cond fallback wrapper adds operand overhead — end-to-end the
+        # chain is a wash (docs/ARCHITECTURE.md). Kept as an explicit
+        # opt-in for much sparser scenes (gather_pallas-scale grids).
+        monotone = False
+    if monotone:
+        window = _auto_window(cells, n)
+        if pallas_gather.supports(n, cells, _GATHER_TILE, window):
+            rows = pallas_gather.monotone_gather(
+                flat, key, level.valid, _GATHER_TILE, window
+            )
+            return rows.astype(dense.dtype)
     rows = jnp.take_along_axis(flat, key[..., None], axis=1)
     return jnp.where(level.valid[..., None], rows, 0)
 

@@ -76,3 +76,39 @@ def test_monotone_gather_odd_tile_count_multi_item():
     out = np.asarray(monotone_gather(src, idx, ok, tile, 2048))
     ref = oracle(src, idx, ok)
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_monotone_gather_f32_exact():
+    """f32 sources select in f32 on the fast path — exact (each output row
+    is a single 1.0 * v product), no bf16 rounding."""
+    rng = np.random.default_rng(11)
+    b, n, c, m = 2, 4096, 3, 512
+    src = rng.normal(size=(b, n, c)).astype(np.float32) * 1e3
+    idx = np.cumsum(rng.integers(1, 6, size=(b, m)), axis=1).astype(np.int32)
+    ok = rng.random((b, m)) < 0.9
+    out = np.asarray(monotone_gather(src, idx, ok, 256, 2048))
+    np.testing.assert_array_equal(out, oracle(src, idx, ok))
+
+
+def test_gather_rows_monotone_matches_xla():
+    """dense_ops.gather_rows(monotone=True) == the XLA take_along path on a
+    real SparseLevel (static keys are lexicographic, hence monotone)."""
+    from mask3d_tpu.sparse import dense_ops
+    from tests.test_sparse_core import make_batch
+
+    rng = np.random.default_rng(5)
+    grid = (16, 16, 8)  # cells=2048, capacity 1024 -> ratio 2, window 1024
+    level, _ = make_batch(rng, num_items=2, dims=grid, max_pts=800,
+                          capacity=1024)
+    from mask3d_tpu.sparse.pallas_gather import supports as _sup
+    assert _sup(1024, 2048, dense_ops._GATHER_TILE,
+                dense_ops._auto_window(2048, 1024))
+    for dt in (np.float32, jnp.bfloat16):
+        feats = rng.normal(size=(2, 1024, 7)).astype(np.float32)
+        dense = dense_ops.scatter_rows(
+            jnp.asarray(feats).astype(dt), level, grid)
+        fast = dense_ops.gather_rows(dense, level, grid, monotone=True)
+        slow = dense_ops.gather_rows(dense, level, grid, monotone=False)
+        assert fast.dtype == dense.dtype
+        np.testing.assert_array_equal(
+            np.asarray(fast, np.float32), np.asarray(slow, np.float32))

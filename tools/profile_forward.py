@@ -105,21 +105,41 @@ def aggregate(n_iter):
         and "TPU" in str(e.get("args", {}).get("name", ""))
         and "pjrt" not in str(e.get("args", {}).get("name", "")).lower()
     }
-    by_name = {}
-    long_names = {}
-    total = 0.0
+    # Exclusive durations: conditionals/whiles nest their branch ops as
+    # child X events on the same (pid, tid) lane — subtract child overlap
+    # so parents don't double-count.
+    lanes = {}
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
         name = e.get("name", "?")
         if name.startswith("jit_"):  # parent program span, not an op
             continue
-        dur = float(e.get("dur", 0.0))
-        by_name[name] = by_name.get(name, 0.0) + dur
-        ln = str(e.get("args", {}).get("long_name", ""))
-        if ln and name not in long_names:
-            long_names[name] = ln
-        total += dur
+        lanes.setdefault(e.get("tid"), []).append(e)
+    by_name = {}
+    long_names = {}
+    total = 0.0
+    for evs in lanes.values():
+        evs.sort(key=lambda e: (float(e["ts"]), -float(e.get("dur", 0.0))))
+        stack = []  # (end_ts, child_time_accum index into records)
+        recs = []
+        for e in evs:
+            ts = float(e["ts"])
+            dur = float(e.get("dur", 0.0))
+            while stack and stack[-1][0] <= ts + 1e-9:
+                stack.pop()
+            if stack:
+                recs[stack[-1][1]]["child"] += dur
+            recs.append({"name": e.get("name", "?"), "dur": dur,
+                         "child": 0.0,
+                         "ln": str(e.get("args", {}).get("long_name", ""))})
+            stack.append((ts + dur, len(recs) - 1))
+        for r in recs:
+            excl = max(r["dur"] - r["child"], 0.0)
+            by_name[r["name"]] = by_name.get(r["name"], 0.0) + excl
+            if r["ln"] and r["name"] not in long_names:
+                long_names[r["name"]] = r["ln"]
+            total += excl
 
     def bucket(name):
         n = (name + " " + long_names.get(name, "")).lower()
@@ -156,6 +176,20 @@ def aggregate(n_iter):
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:20]:
         ln = long_names.get(name, "")
         print(f"  {dur/n_iter/1e3:8.2f} ms  {name[:40]}  {ln[:160]}")
+    # full dump for offline tail analysis
+    with open("/tmp/ops_full.json", "w") as f:
+        json.dump(
+            {
+                "n_iter": n_iter,
+                "ops": [
+                    {"name": k, "dur_ms": v / n_iter / 1e3,
+                     "long_name": long_names.get(k, "")}
+                    for k, v in sorted(by_name.items(), key=lambda kv: -kv[1])
+                ],
+            },
+            f,
+        )
+    print("full op dump: /tmp/ops_full.json")
 
 
 if __name__ == "__main__":
