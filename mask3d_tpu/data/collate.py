@@ -81,13 +81,28 @@ def voxelize_item(coordinates: np.ndarray, use_native: bool = True):
     return uniq.astype(np.int32), keep, dims.astype(np.int32)
 
 
-def build_item_target(labels: np.ndarray, filter_out_classes,
-                      filter_out_instance_ids):
-    """Per-instance (label, mask) pairs from point labels [n, 2].
+def _gather_rows(dst: np.ndarray, src, idx: np.ndarray):
+    """Gather src rows by idx directly into dst (a contiguous buffer
+    slice), casting/column-slicing only when the fast path can't apply."""
+    src = np.asarray(src)
+    if src.dtype == dst.dtype and src.shape[1:] == dst.shape[1:]:
+        np.take(src, idx, axis=0, out=dst)
+    else:
+        g = src[idx]
+        if g.shape[1:] != dst.shape[1:]:
+            g = g[..., : dst.shape[-1]]
+        dst[...] = g
 
-    Mirrors `create_batch_target` (`mask3d/datasets/utils.py:286-329`):
-    index 0 = semantic label, index 1 = instance id; instances whose id or
-    semantic class is filtered are dropped.
+
+def _item_target_meta(labels: np.ndarray, filter_out_classes,
+                      filter_out_instance_ids) -> dict:
+    """Instance-target metadata from point labels [n, 2], masks NOT yet
+    materialized (the collator scatters them straight into the padded
+    batch buffer — one bool pass instead of three).
+
+    Returns dict with: `labels` i32[k] kept-instance semantic labels,
+    `inv` i64[n] point -> uniq-instance index, `keep_flags` bool[n_uniq],
+    `remap` i64[n_uniq] uniq index -> kept rank (arbitrary for dropped).
     """
     inst_ids = labels[:, 1]
     n = len(inst_ids)
@@ -117,13 +132,31 @@ def build_item_target(labels: np.ndarray, filter_out_classes,
         np.isin(uniq, np.asarray(list(filter_out_instance_ids)))
         | np.isin(inst_labels, np.asarray(list(filter_out_classes)))
     )
-    out_labels = [int(v) for v in inst_labels[keep]]
+    remap = np.cumsum(keep) - 1
+    return dict(labels=inst_labels[keep].astype(np.int32), inv=inv,
+                keep_flags=keep, remap=remap)
+
+
+def build_item_target(labels: np.ndarray, filter_out_classes,
+                      filter_out_instance_ids):
+    """Per-instance (label, mask) pairs from point labels [n, 2].
+
+    Mirrors `create_batch_target` (`mask3d/datasets/utils.py:286-329`):
+    index 0 = semantic label, index 1 = instance id; instances whose id or
+    semantic class is filtered are dropped.
+    """
+    inst_ids = labels[:, 1]
+    n = len(inst_ids)
+    m = _item_target_meta(labels, filter_out_classes,
+                          filter_out_instance_ids)
+    k = len(m["labels"])
     # One O(n) scatter builds all masks at once (the per-instance
     # `inst_ids == iid` comparisons were O(n * k) and dominated collation).
-    masks = np.zeros((len(uniq), len(inst_ids)), bool)
-    masks[inv, np.arange(len(inst_ids))] = True
-    out_masks = list(masks[keep])
-    return out_labels, out_masks, inst_ids
+    masks = np.zeros((k, n), bool)
+    cols = np.flatnonzero(m["keep_flags"][m["inv"]])
+    masks[m["remap"][m["inv"][cols]], cols] = True
+    out_labels = [int(v) for v in m["labels"]]
+    return out_labels, list(masks), inst_ids
 
 
 class VoxelizeCollate:
@@ -158,17 +191,11 @@ class VoxelizeCollate:
     def _prepare_item(self, item: dict) -> dict:
         coords, keep, dims = voxelize_item(item["coordinates"])
         labels = np.asarray(item["labels"])[keep].astype(np.int32)
-        feats = np.asarray(item["features"])[keep].astype(np.float32)
-        raw_c = np.asarray(item["raw_coordinates"])[keep]
-        raw_f = np.asarray(item["raw_features"])[keep]
-        raw_l = np.asarray(item["raw_labels"])[keep]
-        tl, tm, inst_ids = build_item_target(
+        meta = _item_target_meta(
             labels, self.filter_out_classes, self.filter_out_instance_ids
         )
-        return dict(coords=coords, dims=dims, labels=labels, feats=feats,
-                    raw_c=raw_c, raw_f=raw_f, raw_l=raw_l,
-                    t_labels=tl, t_masks=tm, inst_ids=inst_ids,
-                    scene=item["scene"])
+        return dict(coords=coords, keep=keep, dims=dims, labels=labels,
+                    meta=meta, scene=item["scene"], src=item)
 
     _executor = None
 
@@ -219,12 +246,12 @@ class VoxelizeCollate:
         grid_dims = tuple(grid_dims)
         i_cap = max(
             self.instance_bucket_multiple,
-            -(-max(1, max(len(it["t_labels"]) for it in per_item))
+            -(-max(1, max(len(it["meta"]["labels"]) for it in per_item))
               // self.instance_bucket_multiple)
             * self.instance_bucket_multiple,
         )
 
-        f_dim = per_item[0]["feats"].shape[-1]
+        f_dim = int(np.asarray(batch[0]["features"]).shape[-1])
         # np.empty + per-item tail-zeroing instead of full np.zeros: the
         # batch buffers total ~35 MB at flagship capacity and the full
         # zero-fill cost ~8 ms/batch on a 1-core host.
@@ -240,31 +267,46 @@ class VoxelizeCollate:
         raw_feats = np.empty((b, n_cap, f_dim), np.float32)
         raw_labels = np.empty((b, n_cap, 2), np.int32)
 
-        for i, it in enumerate(per_item):
+        def fill(i: int, it: dict):
+            # Row-gathers land straight in the padded batch buffers
+            # (`np.take(..., out=)`) — the per-item intermediate arrays
+            # this replaces cost ~25 ms/batch of extra copies on a 1-core
+            # host (measured, tools/profile_collate.py).
+            src, keep = it["src"], it["keep"]
             n = len(it["coords"])
             assert n <= n_cap, f"item {it['scene']} exceeds point bucket"
             coords[i, :n] = it["coords"]
             coords[i, n:] = 0
             counts[i] = n
             dims[i] = it["dims"]
-            feats[i, :n] = it["feats"]
+            _gather_rows(feats[i, :n], src["features"], keep)
             feats[i, n:] = 0
-            pt_inst[i, :n] = it["inst_ids"]
+            pt_inst[i, :n] = it["labels"][:, 1]
             pt_inst[i, n:] = 0
-            raw_coords[i, :n] = it["raw_c"]
+            _gather_rows(raw_coords[i, :n], src["raw_coordinates"], keep)
             raw_coords[i, n:] = 0
-            raw_feats[i, :n] = it["raw_f"]
+            _gather_rows(raw_feats[i, :n], src["raw_features"], keep)
             raw_feats[i, n:] = 0
-            raw_labels[i, :n] = it["raw_l"][:, :2]
+            _gather_rows(raw_labels[i, :n], src["raw_labels"], keep)
             raw_labels[i, n:] = 0
-            k = len(it["t_labels"])
+            m = it["meta"]
+            k = len(m["labels"])
             assert k <= i_cap, f"item {it['scene']} exceeds instance bucket"
             t_masks[i, k:] = False
             if k:
-                t_labels[i, :k] = it["t_labels"]
-                t_masks[i, :k, :n] = np.stack(it["t_masks"])
-                t_masks[i, :k, n:] = False
+                t_labels[i, :k] = m["labels"]
                 t_valid[i, :k] = True
+                tm = t_masks[i, :k]
+                tm[:] = False
+                cols = np.flatnonzero(m["keep_flags"][m["inv"]])
+                tm[m["remap"][m["inv"][cols]], cols] = True
+
+        if b > 1 and (_os.cpu_count() or 1) > 1:
+            list(self._get_executor().map(
+                lambda a: fill(*a), enumerate(per_item)))
+        else:
+            for i, it in enumerate(per_item):
+                fill(i, it)
 
         dev = DeviceBatch(
             coords=coords,
