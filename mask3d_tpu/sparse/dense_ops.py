@@ -106,7 +106,16 @@ def gather_rows(dense, level: SparseLevel, grid_dims: Sequence[int],
                 flat, key, level.valid, _GATHER_TILE, window
             )
             return rows.astype(dense.dtype)
-    rows = jnp.take_along_axis(flat, key[..., None], axis=1)
+    # Gather over the grid's NATIVE physical order: XLA lays the dense
+    # grids out as [x, y, z, b, c] (batch second-minor — trace layout
+    # {4,0,3,2,1}), so the batch-major [B, cells, C] gather operand costs
+    # a full relayout copy (+2.2 ms on the L0 flagship tap, copy.2123 in
+    # the device trace). A logical transpose to [cells, b, c] + reshape to
+    # [cells*B, C] is a free bitcast of that layout, and the row gather
+    # (flat index key*B + b) runs straight off it.
+    flat_t = jnp.transpose(flat, (1, 0, 2)).reshape(cells * b, c)
+    idx = key * b + jnp.arange(b, dtype=key.dtype)[:, None]
+    rows = jnp.take(flat_t, idx, axis=0)
     return jnp.where(level.valid[..., None], rows, 0)
 
 
