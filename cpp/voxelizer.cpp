@@ -88,6 +88,37 @@ int voxelize_f32(const float* coords, int64_t n, int32_t* out_coords,
   const uint64_t max_key = static_cast<uint64_t>(dims_out[0]) * dy * dz - 1;
   const int idx_bits = bits_for(static_cast<uint64_t>(n - 1));
   const int key_bits = bits_for(max_key);
+  if (key_bits + idx_bits > 64) {
+    // Key+index do not fit one u64 (astronomically sparse i32 grid):
+    // packing would TRUNCATE keys, so branch BEFORE packing and sort row
+    // indices by (x, y, z, idx) directly — key order is exactly
+    // lexicographic (x, y, z) since key = (x*Dy + y)*Dz + z with
+    // 0 <= y < Dy, 0 <= z < Dz. No key arithmetic, so no overflow at all.
+    std::vector<int64_t> order(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+      for (int d = 0; d < 3; ++d) {
+        if (q[a * 3 + d] != q[b * 3 + d]) return q[a * 3 + d] < q[b * 3 + d];
+      }
+      return a < b;
+    });
+    int out_n = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t src = order[i];
+      if (out_n > 0 &&
+          q[src * 3] == out_coords[(out_n - 1) * 3] &&
+          q[src * 3 + 1] == out_coords[(out_n - 1) * 3 + 1] &&
+          q[src * 3 + 2] == out_coords[(out_n - 1) * 3 + 2]) {
+        continue;
+      }
+      out_coords[out_n * 3 + 0] = q[src * 3 + 0];
+      out_coords[out_n * 3 + 1] = q[src * 3 + 1];
+      out_coords[out_n * 3 + 2] = q[src * 3 + 2];
+      keep_idx[out_n] = static_cast<int32_t>(src);
+      ++out_n;
+    }
+    return out_n;
+  }
   std::vector<uint64_t> packed(static_cast<size_t>(n));
   for (int64_t i = 0; i < n; ++i) {
     const uint64_t key =
@@ -95,11 +126,7 @@ int voxelize_f32(const float* coords, int64_t n, int32_t* out_coords,
         q[i * 3 + 2];
     packed[i] = (key << idx_bits) | static_cast<uint64_t>(i);
   }
-  if (key_bits + idx_bits <= 64) {
-    radix_sort_u64(packed, key_bits + idx_bits);
-  } else {
-    std::sort(packed.begin(), packed.end());  // cannot happen for i32 grids
-  }
+  radix_sort_u64(packed, key_bits + idx_bits);
 
   int out_n = 0;
   uint64_t prev_key = ~uint64_t{0};

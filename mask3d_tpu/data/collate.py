@@ -17,6 +17,7 @@ for `jax.device_put` + `build_sparse_batch` inside the jitted step.
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -198,14 +199,21 @@ class VoxelizeCollate:
                     meta=meta, scene=item["scene"], src=item)
 
     _executor = None
+    _executor_lock = threading.Lock()
 
     def _get_executor(self):
         # Persistent pool: spawning a fresh ThreadPoolExecutor per batch
-        # cost ~16 ms/batch (measured on a 1-core host).
+        # cost ~16 ms/batch (measured on a 1-core host). Double-checked
+        # lock: concurrent DataLoader threads must not race the lazy init
+        # (the loser's executor would leak threads for the process life).
         if VoxelizeCollate._executor is None:
-            from concurrent.futures import ThreadPoolExecutor
+            with VoxelizeCollate._executor_lock:
+                if VoxelizeCollate._executor is None:
+                    from concurrent.futures import ThreadPoolExecutor
 
-            VoxelizeCollate._executor = ThreadPoolExecutor(max_workers=16)
+                    VoxelizeCollate._executor = ThreadPoolExecutor(
+                        max_workers=16
+                    )
         return VoxelizeCollate._executor
 
     def __call__(self, batch: List[dict]) -> HostBatch:

@@ -113,9 +113,17 @@ def gather_rows(dense, level: SparseLevel, grid_dims: Sequence[int],
     # the device trace). A logical transpose to [cells, b, c] + reshape to
     # [cells*B, C] is a free bitcast of that layout, and the row gather
     # (flat index key*B + b) runs straight off it.
-    flat_t = jnp.transpose(flat, (1, 0, 2)).reshape(cells * b, c)
-    idx = key * b + jnp.arange(b, dtype=key.dtype)[:, None]
-    rows = jnp.take(flat_t, idx, axis=0)
+    if cells * b < 2**31:
+        flat_t = jnp.transpose(flat, (1, 0, 2)).reshape(cells * b, c)
+        idx = key * b + jnp.arange(b, dtype=key.dtype)[:, None]
+        rows = jnp.take(flat_t, idx, axis=0)
+    else:
+        # cells*b would overflow the int32 flat index (grids this large
+        # normally run backbone_impl=gather_pallas, but stay correct):
+        # per-item batched gather, no flat-index arithmetic.
+        rows = jnp.take_along_axis(
+            flat, key[..., None].astype(jnp.int32), axis=1
+        )
     return jnp.where(level.valid[..., None], rows, 0)
 
 

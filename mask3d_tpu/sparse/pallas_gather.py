@@ -227,6 +227,16 @@ monotone_gather.defvjp(_fwd, _bwd)
 
 def supports(m_rows: int, n_src: int, tile: int = 256,
              window=(2048, 2048)) -> bool:
-    """Static eligibility for capacity-M gathers from an N-row source."""
+    """Static eligibility for capacity-M gathers from an N-row source.
+
+    The kernel's DMA correctness additionally assumes W1 % 16 == 0 (the
+    second-tier base uses `pl.multiple_of(base + W1, 16)`) and W2 == 0 or
+    W2 >= 16 (the win2 scratch is max(W2, 16) rows but the copy transfers
+    W2 rows) — `_auto_window` values always satisfy both, but a
+    caller-supplied window must be validated here so a violation falls
+    back to the exact XLA path instead of miscompiling.
+    """
     w1, w2 = window if isinstance(window, tuple) else (window, 0)
+    if w1 % 16 != 0 or (w2 != 0 and w2 < 16):
+        return False
     return m_rows % tile == 0 and n_src >= w1 + w2

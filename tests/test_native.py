@@ -37,6 +37,24 @@ def test_voxelize_native_duplicate_first_index(rng):
 
 
 @needs_native
+def test_voxelize_native_huge_sparse_grid(rng):
+    # key_bits + idx_bits > 64: a handful of points spread over a ~2^20
+    # extent per axis (key_bits = 60) with 64 points (idx_bits = 6) forces
+    # the no-packing comparison-sort fallback. Must still match numpy.
+    # (Such grids are rejected by voxelize_item's int32-key contract, so
+    # oracle directly against np.unique rather than voxelize_item.)
+    coords = rng.uniform(0, 1_000_000, (64, 3)).astype(np.float32)
+    coords[1] = coords[0]  # at least one duplicate voxel
+    uniq_c, keep_c, dims_c = voxelize_native(coords)
+    ci = coords.astype(np.int32)
+    ci = ci - ci.min(axis=0)
+    uniq_np, keep_np = np.unique(ci, axis=0, return_index=True)
+    assert np.array_equal(dims_c, uniq_np.max(axis=0) + 1)
+    assert np.array_equal(uniq_c, uniq_np)
+    assert np.array_equal(keep_c, keep_np)
+
+
+@needs_native
 def test_downsample_native_matches_numpy(rng):
     coords = rng.uniform(-4000, 4000, (3000, 3))
     vs = 150.0
