@@ -135,6 +135,28 @@ class FloorplanEvaluator:
             c[k]["tp"] += scene[f"{k}_tp"]
         return scene
 
+    def evaluate_scene_masks(self, pred_masks: List[np.ndarray],
+                             gt_masks: List[np.ndarray],
+                             degree: float = 0.01) -> Dict[str, float]:
+        """End-to-end protocol from room MASKS: polygonize every pred and
+        gt mask exactly like the reference (largest contour +
+        approxPolyDP with epsilon = degree * perimeter,
+        `s3d_floorplan_eval/Evaluator/Evaluator.py:25-60` /
+        `DataRW/S3DRW.py:79-115`), then run the polygon metric. Empty
+        polygonizations (blank masks) are dropped on both sides, matching
+        the reference's behavior of never producing them."""
+        from mask3d_tpu.baseline.polygonize import polygonize_mask
+
+        def polys(masks):
+            out = []
+            for m in masks:
+                p = polygonize_mask(np.asarray(m), degree, return_mask=False)
+                if len(p) >= 3:
+                    out.append(p)
+            return out
+
+        return self.evaluate_scene(polys(pred_masks), polys(gt_masks))
+
     def summarize(self) -> Dict[str, float]:
         out = {}
         for k, v in self.counts.items():
