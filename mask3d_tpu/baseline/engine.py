@@ -52,6 +52,7 @@ class FloorplanTrainer:
         seed: int = 1,
         use_raster_loss: bool = True,
         datasets: Optional[dict] = None,
+        valid_scenes_file_path: Optional[str] = None,
     ):
         self.save_dir = save_dir
         os.makedirs(save_dir, exist_ok=True)
@@ -59,19 +60,15 @@ class FloorplanTrainer:
         self.num_polys = num_polys
         self.max_epochs = max_epochs
         qp = num_queries // num_polys
+        # valid_scenes_file_path filters eval scenes like the reference's
+        # `--valid_scenes_file_path` (RoomFormer/eval.py:92-97).
         self.datasets = datasets or {
-            "train": FloorplanDataset(
-                data_root, "train", num_queries_per_poly=qp,
+            mode: FloorplanDataset(
+                data_root, mode, num_queries_per_poly=qp,
                 max_polys=num_polys,
-            ),
-            "validation": FloorplanDataset(
-                data_root, "validation", num_queries_per_poly=qp,
-                max_polys=num_polys,
-            ),
-            "test": FloorplanDataset(
-                data_root, "test", num_queries_per_poly=qp,
-                max_polys=num_polys,
-            ),
+                valid_scenes_file_path=valid_scenes_file_path,
+            )
+            for mode in ("train", "validation", "test")
         }
         self.model = RoomFormer(
             d_model=d_model, enc_layers=enc_layers, dec_layers=dec_layers,
@@ -145,12 +142,19 @@ class FloorplanTrainer:
             )
 
     def evaluate(self, split: str = "test",
-                 mask3d_bridge: bool = False) -> dict:
+                 mask3d_bridge: bool = False,
+                 export_las_dir: Optional[str] = None) -> dict:
         """Floorplan metrics; optionally also score with the Mask3D
         evaluator via the polygon->mask bridge (reference engine.py:381-385).
+
+        `export_las_dir` writes one gt+prediction `.las` per scene like the
+        reference's `--export_las` path (RoomFormer/engine.py:391-404 ->
+        export_gt_and_prediction_las); requires `mask3d_bridge`.
         """
         ev = FloorplanEvaluator()
         bridge_metrics = []
+        if export_las_dir and not mask3d_bridge:
+            raise ValueError("export_las_dir requires mask3d_bridge=True")
         for batch in self._batches(split, shuffle=False):
             probs, coords = self._infer(
                 self.params, jnp.asarray(batch["density"])
@@ -168,12 +172,52 @@ class FloorplanTrainer:
 
                     ds = self.datasets[split].ds3d
                     idx = ds.data.index(scene)
+                    item = ds[idx]
                     bridge_metrics.append(
                         evaluate_roomformer_scene(
-                            ds[idx], polys, Mask3DEvaluator(), "test"
+                            item, polys, Mask3DEvaluator(), "test"
                         )
                     )
+                    if export_las_dir:
+                        self._export_scene_las(item, polys, export_las_dir)
         out = ev.summarize()
+        return self._finalize_metrics(out, bridge_metrics)
+
+    def _export_scene_las(self, item: dict, polys, las_dir: str):
+        """One gt+prediction `.las` per scene, reference
+        RoomFormer/engine.py:391-404 (export_gt_and_prediction_las)."""
+        from mask3d_tpu.baseline.roomformer_bridge import (
+            polygons_to_mask3d_prediction,
+        )
+        from mask3d_tpu.data.collate import build_item_target
+        from mask3d_tpu.train.export import export_las_prediction_and_gt
+
+        os.makedirs(las_dir, exist_ok=True)
+        labels = np.asarray(item["labels"])
+        t_labels, t_masks, _ = build_item_target(
+            labels, filter_out_classes=(0, 17, 18, 19, 21),
+            filter_out_instance_ids=(-1, 0),
+        )
+        pred = polygons_to_mask3d_prediction(
+            np.asarray(item["coordinates"]), polys, item["scene"]
+        )
+        masks_gt = (
+            np.stack(t_masks) if t_masks
+            else np.zeros((0, len(labels)), bool)
+        )
+        export_las_prediction_and_gt(
+            np.asarray(item["coordinates"]),
+            np.asarray(item["features"]),
+            np.asarray(t_labels, np.int32),
+            masks_gt,
+            pred["pred_masks"],
+            pred["pred_classes"],
+            pred["pred_scores"],
+            os.path.join(las_dir, f"test_{item['scene']}.las"),
+        )
+
+    @staticmethod
+    def _finalize_metrics(out: dict, bridge_metrics: list) -> dict:
         if bridge_metrics:
             for k in bridge_metrics[0]:
                 if k.endswith("classes"):
@@ -195,10 +239,18 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=8)
     ap.add_argument("--max_epochs", type=int, default=300)
     ap.add_argument("--mask3d_bridge", action="store_true")
+    # reference RoomFormer/eval.py:92-97
+    ap.add_argument("--valid_scenes_file_path", default=None,
+                    help="structured3d valid-scenes filter file")
+    ap.add_argument("--export_las", action="store_true",
+                    help="write one gt+prediction .las per eval scene "
+                         "(implies --mask3d_bridge)")
+    ap.add_argument("--las_dir", default="las_export")
     args = ap.parse_args(argv)
     tr = FloorplanTrainer(
         args.data_root, save_dir=args.save_dir,
         batch_size=args.batch_size, max_epochs=args.max_epochs,
+        valid_scenes_file_path=args.valid_scenes_file_path,
     )
     if args.checkpoint:
         (tr.params, tr.opt_state), _ = ckpt.load_checkpoint(
@@ -207,7 +259,11 @@ def main(argv=None):
     if args.command == "train":
         tr.fit()
     else:
-        metrics = tr.evaluate("test", mask3d_bridge=args.mask3d_bridge)
+        metrics = tr.evaluate(
+            "test",
+            mask3d_bridge=args.mask3d_bridge or args.export_las,
+            export_las_dir=args.las_dir if args.export_las else None,
+        )
         for k, v in sorted(metrics.items()):
             print(f"{k}: {v:.4f}")
 

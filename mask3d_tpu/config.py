@@ -139,6 +139,11 @@ class ModelConfig:
     # TPU-specific: fused Pallas masked cross-attention tile (0 = off);
     # K/V stream once through VMEM, no [B,h,Q,S] logits in HBM
     attention_pallas_tile: int = 0
+    # TPU-specific: run the level-0 stride-1 backbone convs (41% of the
+    # flagship device forward) in dynamically-quantized int8 at EVAL —
+    # training always stays in compute_dtype (round() has no gradient).
+    # Parity gate: tests/test_e2e.py::test_int8_eval_metrics_match_fp32
+    int8_stride1: bool = False
     # TPU-specific: selection mechanism of the windowed Pallas sparse conv
     # (backbone_impl=gather_pallas): "onehot" (MXU one-hot matmul) or
     # "gather" (Mosaic tpu.dynamic_gather — true sparse FLOPs, no MXU
@@ -362,8 +367,15 @@ def flatten_dict(d: dict, parent: str = "", sep: str = "_") -> dict:
 def to_yaml(cfg: Config, path: str):
     import yaml
 
+    def listify(v):
+        if isinstance(v, dict):
+            return {k: listify(x) for k, x in v.items()}
+        if isinstance(v, (tuple, list)):
+            return [listify(x) for x in v]
+        return v
+
     with open(path, "w") as f:
-        yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+        yaml.safe_dump(listify(to_dict(cfg)), f, sort_keys=False)
 
 
 def from_yaml(path: str) -> Config:

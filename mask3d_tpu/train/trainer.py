@@ -84,6 +84,12 @@ class InstanceSegmentationTrainer:
             cfg.general.experiment_id or time.strftime("%Y-%m-%d_%H-%M-%S"),
         )
         os.makedirs(self.run_dir, exist_ok=True)
+        # Persist the composed config so runs reproduce from their
+        # artifacts alone (reference: Hydra snapshot under
+        # saved/<exp>/<id>/hydra/, main_instance_segmentation.py:76-84).
+        from mask3d_tpu.config import to_yaml
+
+        to_yaml(cfg, os.path.join(self.run_dir, "config.yaml"))
 
         # --- datasets (reference prepare_data, trainer.py:578-582) ---
         if datasets is not None:

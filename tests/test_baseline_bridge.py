@@ -101,3 +101,29 @@ def test_prediction_dict_shape():
     assert pred["pred_masks"].shape == (len(item["coordinates"]), 1)
     assert pred["pred_scores"].tolist() == [1.0]
     assert pred["pred_classes"].tolist() == [1]
+
+
+def test_export_scene_las(tmp_path):
+    """`--export_las` path: one gt+prediction .las per scene (reference
+    RoomFormer/engine.py:391-404), readable back with the same dims."""
+    from mask3d_tpu.baseline.engine import FloorplanTrainer
+    from mask3d_tpu.data.las import read_las
+
+    item = two_room_scene()
+    item["features"] = np.ones((len(item["coordinates"]), 1), np.float32)
+    polys = [
+        room_polygon_in_density(item["coordinates"], (0, 0), (5000, 5000)),
+        room_polygon_in_density(item["coordinates"], (6000, 0),
+                                (11000, 5000)),
+    ]
+    las_dir = str(tmp_path / "las")
+    FloorplanTrainer._export_scene_las(None, item, polys, las_dir)
+    import os
+
+    path = os.path.join(las_dir, "test_scene_00001.las")
+    assert os.path.exists(path)
+    out = read_las(path)
+    assert len(out["xyz"]) == len(item["coordinates"])
+    for dim in ("class", "class_pred", "instance", "instance_pred",
+                "score_pred"):
+        assert dim in out, out.keys()

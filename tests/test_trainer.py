@@ -87,6 +87,13 @@ def test_fit_resume_and_test(data_root, tmp_path):
     csv = open(os.path.join(run_dir, "metrics.csv")).read()
     assert "train_loss" in csv and "val_mean_ap_50" in csv
 
+    # Config snapshot: the run reproduces from its artifacts alone
+    # (reference Hydra snapshot, main_instance_segmentation.py:76-84).
+    from mask3d_tpu.config import from_yaml, to_dict
+
+    snap = from_yaml(os.path.join(run_dir, "config.yaml"))
+    assert to_dict(snap) == to_dict(cfg)
+
     # Auto-resume: a fresh trainer continues at epoch 2 (reference
     # get_checkpoint_path semantics, main_instance_segmentation.py:18-28).
     cfg2 = small_cfg(data_root, save_dir)
