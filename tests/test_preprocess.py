@@ -233,3 +233,73 @@ def test_matterport_merge(tmp_path, rng):
     assert len(pc["coords"]) == 150
     assert set(np.unique(pc["room_ids"]).tolist()) == {1, 2, 3}
     assert (pc["types"] == 1).all()
+
+
+def test_matterport_download_driver(tmp_path, rng):
+    """Download driver honoring the user-supplied download_mp contract
+    (reference download_and_preprocess.py:92-147): a fake download_mp
+    'downloads' a region_segmentations.zip; the driver unzips, merges,
+    writes point_cloud.las (with RGB), cleans temp, and skips
+    already-preprocessed scans on rerun."""
+    import zipfile
+
+    from mask3d_tpu.data.las import read_las
+    from mask3d_tpu.data.ply import write_ply
+    from mask3d_tpu.preprocess.matterport import download_and_preprocess
+
+    # Build the zip a download would deliver: scan/region_segmentations/*.ply
+    src = tmp_path / "payload"
+    os.makedirs(src / "scanA" / "region_segmentations")
+    for i in range(2):
+        n = 40
+        write_ply(
+            str(src / "scanA" / "region_segmentations" / f"region{i}.ply"),
+            {
+                "x": rng.normal(size=n).astype(np.float32),
+                "y": rng.normal(size=n).astype(np.float32),
+                "z": rng.normal(size=n).astype(np.float32),
+                "red": rng.integers(0, 255, n).astype(np.uint8),
+                "green": rng.integers(0, 255, n).astype(np.uint8),
+                "blue": rng.integers(0, 255, n).astype(np.uint8),
+            },
+            text=False,
+        )
+    zip_src = tmp_path / "region_segmentations.zip"
+    with zipfile.ZipFile(zip_src, "w") as z:
+        for p in sorted((src / "scanA" / "region_segmentations").iterdir()):
+            z.write(p, f"scanA/region_segmentations/{p.name}")
+
+    fake_mp = tmp_path / "download_mp.py"
+    fake_mp.write_text(f"""
+import os, shutil
+BASE_URL = "http://example.invalid/"
+RELEASE = "v1"
+CALLS = []
+def get_release_scans(release_file):
+    return ["scanA", "scanB"]
+def download_scan(scan_id, out_dir, file_types):
+    CALLS.append((scan_id, tuple(file_types)))
+    os.makedirs(out_dir, exist_ok=True)
+    shutil.copy({str(zip_src)!r},
+                os.path.join(out_dir, "region_segmentations.zip"))
+""")
+
+    out = tmp_path / "mp_out"
+    results = download_and_preprocess(str(out), "scanA", str(fake_mp))
+    assert [r["success"] for r in results] == [True]
+    las_path = out / "preprocessed" / "v1" / "scanA" / "point_cloud.las"
+    assert las_path.exists()
+    data = read_las(str(las_path))
+    assert len(data["xyz"]) == 80
+    assert set(np.unique(data["room_id"]).tolist()) == {1, 2}
+    assert "rgb" in data or "red" in data  # colors preserved
+    # temp download removed
+    assert not (out / "temp" / "v1" / "scanA").exists()
+    # rerun skips
+    results2 = download_and_preprocess(str(out), "scanA", str(fake_mp))
+    assert results2[0].get("skipped") is True
+    # unknown scan id rejected like the reference
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        download_and_preprocess(str(out), "nope", str(fake_mp))
