@@ -185,3 +185,82 @@ def test_dp_sp_train_step_runs():
         loss = float(losses["loss"])
     assert np.isfinite(loss)
     assert int(new_state.step) == 1
+
+
+def test_dp_sp_eval_tight_with_f64_norm_stats(monkeypatch):
+    """Certify the 5e-2 tolerance of `test_dp_sp_eval_matches_unsharded`:
+    with instance-norm STATISTICS computed in float64 (everything else
+    unchanged, f32 in/out), the sharded and unsharded BACKBONE outputs
+    agree to 2e-3 — so the f32 backbone gap is rsqrt(var+eps)
+    conditioning amplifying the cross-shard stat-reduction reorder, not a
+    partitioner semantic difference. (The norm-free path is bit-level
+    exact: test_dp_sp_backbone_exact_with_identity_norm. The decoder
+    keeps its own benign f32 reorder noise — attention/pooling psums —
+    measured ~1e-2 on pred_class, inside the 5e-2 blanket bound.)"""
+    from mask3d_tpu.sparse import dense_ops
+    from mask3d_tpu.train.loop import make_model
+
+    def f64_stats_norm(x, occ, gamma, beta, eps=1e-5):
+        axes = (1, 2, 3)
+        x64 = x.astype(jnp.float64)
+        cnt = jnp.maximum(jnp.sum(occ.astype(jnp.float64), axis=axes), 1.0)
+        cnt = cnt[:, None, None, None, :]
+        mean = jnp.sum(x64, axis=axes, keepdims=True) / cnt
+        sq = jnp.sum(x64 * x64, axis=axes, keepdims=True) / cnt
+        var = jnp.maximum(sq - mean * mean, 0.0)
+        rs = jax.lax.rsqrt(var + eps)
+        k = (rs * gamma).astype(x.dtype)
+        t = (beta - mean * rs * gamma).astype(x.dtype)
+        return x * k + occ.astype(x.dtype) * t
+
+    # init OUTSIDE the x64 context (params stay f32) and BEFORE the
+    # monkeypatch (init's norm calls don't matter and would warn about
+    # truncated f64 outside the context).
+    host = _batch(2)
+    batch = host.device
+    cfg0 = _cfg(None)
+    state, model0, _, _ = init_state(cfg0, batch)
+    monkeypatch.setattr(dense_ops, "dense_instance_norm", f64_stats_norm)
+
+    def bb_fn(cfg, model):
+        caps = level_capacities(cfg, batch.coords.shape[1])
+        kw = _sb_kwargs(cfg, batch.grid_dims)
+
+        @jax.jit
+        def fwd(params, buffers, coords, counts, dims, feats):
+            sb = build_sparse_batch(coords, counts, dims, caps, **kw)
+            out = model.apply(
+                {"params": params, "buffers": buffers},
+                sb, feats, coords.astype(jnp.float32), True,
+                grid_dims=batch.grid_dims,
+            )
+            return out.backbone_feats
+
+        return fwd
+
+    args = (batch.coords, batch.counts, batch.dims, batch.feats)
+    with jax.enable_x64(True):
+        ref = jax.device_get(
+            bb_fn(cfg0, model0)(state.params, state.buffers, *args)
+        )
+
+        model1 = make_model(_cfg("sp"))
+        mesh = make_mesh_2d(2, 2)
+        with jax.sharding.set_mesh(mesh):
+            sharded = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P("dp"))),
+                batch,
+            )
+            params = replicate(state.params, mesh)
+            buffers = replicate(state.buffers, mesh)
+            got = jax.device_get(
+                bb_fn(_cfg("sp"), model1)(
+                    params, buffers, sharded.coords, sharded.counts,
+                    sharded.dims, sharded.feats,
+                )
+            )
+
+    # Measured max |diff| 9.7e-4 (vs the 2e-1 f32 blanket bound): the
+    # few-ulp f64->f32 stat rounding seeds cascade through 8 norm+relu
+    # layers. 100x tighter than f32 certifies the mechanism.
+    np.testing.assert_allclose(got, ref, atol=2e-3)
