@@ -140,11 +140,12 @@ class _DenseCtx:
     """
 
     def __init__(self, sb: SparseBatch, grid_dims, compute_dtype,
-                 sp_axis=None):
+                 sp_axis=None, int8_stride1=False):
         from mask3d_tpu.parallel.mesh import maybe_constrain, sp_min_per_shard
 
         self.sb = sb
         self.dt = compute_dtype
+        self.int8_l0 = int8_stride1
         self.grid_dims = list(grid_dims)  # per level
         # Per-level: shard the grid-x axis only while the per-shard extent
         # stays >= 2 (XLA SPMD miscompile guard, see parallel/mesh.py);
@@ -182,6 +183,14 @@ class _DenseCtx:
         ))
 
     def conv3(self, x, w, level_idx, b=None):
+        if self.int8_l0 and level_idx == 0:
+            # The four level-0 stride-1 convs are 41% of the flagship
+            # device forward; int8 MXU runs them ~1.5x faster (measured
+            # tools/bench_int8.py). Eval-only — see dense_conv_same_int8.
+            return self._cl[0](dense_ops.dense_conv_same_int8(
+                x, w, self.occ[0], bias=b,
+                out_dtype=self.dt or jnp.float32,
+            ))
         return self._cl[level_idx](dense_ops.dense_conv_same(
             x, w, self.occ[level_idx], bias=b, compute_dtype=self.dt
         ))
@@ -238,6 +247,7 @@ class Res16UNetBase(nn.Module):
     impl: str = "gather"  # "gather" | "gather_pallas" | "dense"
     pallas_select: str = "onehot"  # windowed-conv selection (pallas_conv)
     sp_axis: Optional[str] = None  # sequence-parallel mesh axis (dense impl)
+    int8_stride1: bool = False  # int8 level-0 stride-1 convs (dense, eval)
     PLANES: Sequence[int] = (32, 64, 128, 256, 256, 256, 256, 256)
     LAYERS: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2)
     INIT_DIM: int = 32
@@ -336,7 +346,8 @@ class Res16UNetBase(nn.Module):
         if self.impl == "dense":
             assert grid_dims is not None, "dense impl needs static grid dims"
             ctx = _DenseCtx(sb, grid_dims, self.compute_dtype,
-                            sp_axis=self.sp_axis)
+                            sp_axis=self.sp_axis,
+                            int8_stride1=self.int8_stride1)
             x = ctx.scatter(feats, 0)
         else:
             ctx = _GatherCtx(sb, self.compute_dtype,

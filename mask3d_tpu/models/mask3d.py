@@ -321,6 +321,10 @@ class Mask3D(nn.Module):
     # logits in HBM at all (ops/pallas_attention.py). Takes precedence
     # over attention_chunk where the memory length qualifies.
     attention_pallas_tile: int = 0
+    # int8 level-0 stride-1 convs at EVAL only (dense impl; see
+    # sparse/dense_ops.py::dense_conv_same_int8). Training keeps
+    # compute_dtype — quantization round() has no useful gradient.
+    int8_stride1: bool = False
 
     def _pos_enc(self, xyz, mins, maxs, gauss_b):
         if self.positional_encoding_type == "fourier":
@@ -367,6 +371,7 @@ class Mask3D(nn.Module):
             impl=self.backbone_impl,
             pallas_select=self.pallas_conv_select,
             sp_axis=self.sp_axis,
+            int8_stride1=self.int8_stride1 and is_eval,
             name="backbone",
         )
         bb_out, feature_maps, bb_grid = backbone(

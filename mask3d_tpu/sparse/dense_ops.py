@@ -166,6 +166,49 @@ def dense_conv_same(x, weight, occ, bias=None, compute_dtype=None):
     return out * occ.astype(out.dtype)
 
 
+def dense_conv_same_int8(x, weight, occ, bias=None, out_dtype=jnp.bfloat16):
+    """Dynamically-quantized int8 submanifold conv (inference fast path).
+
+    v5e int8 MXU sustains ~1.5x the bf16 matmul rate (tools/bench_int8.py:
+    178.8 vs 119.8 TFLOP/s measured 2026-08-19); the four stride-1 convs
+    are 41% of the flagship device forward, so stage-8 runs them in int8
+    at eval when `model.int8_stride1` is set (parity gate:
+    tests/test_e2e.py::test_int8_eval_metrics_match_fp32).
+
+    Scheme: per-input-channel dynamic activation scales (absmax over the
+    batch grid — a [Cin] reduction that XLA fuses with the producer pass),
+    folded into the weight before its own per-output-channel quantization;
+    i32 MXU accumulation; f32 requant epilogue fused into the conv output
+    (never materializing the i32 grid — the round-2 OOM came from emitting
+    s32 as the conv result). Submanifold zeros quantize to 0, so the
+    occupancy re-mask semantics are unchanged.
+    """
+    k = round(weight.shape[0] ** (1.0 / 3.0))
+    assert k**3 == weight.shape[0], weight.shape
+    cin, cout = weight.shape[1], weight.shape[2]
+    w = weight.reshape(k, k, k, cin, cout).astype(jnp.float32)
+
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2, 3))  # [Cin]
+    sx = jnp.maximum(ax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (1.0 / sx)), -127.0, 127.0
+    ).astype(jnp.int8)
+
+    wf = w * sx[None, None, None, :, None]  # fold activation scales
+    aw = jnp.max(jnp.abs(wf), axis=(0, 1, 2, 3))  # [Cout]
+    sw = jnp.maximum(aw, 1e-12) * (1.0 / 127.0)
+    wq = jnp.clip(jnp.round(wf / sw), -127.0, 127.0).astype(jnp.int8)
+
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=_DN, preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * sw
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return (out * occ.astype(out.dtype)).astype(out_dtype)
+
+
 def dense_conv_same_zfold(x, weight, occ, bias=None, compute_dtype=None):
     """`dense_conv_same` with the z axis folded into the feature dims.
 

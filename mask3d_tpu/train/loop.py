@@ -72,6 +72,7 @@ def make_model(cfg: Config) -> Mask3D:
         remat_backbone=cfg.model.remat_backbone,
         attention_chunk=cfg.model.attention_chunk,
         attention_pallas_tile=cfg.model.attention_pallas_tile,
+        int8_stride1=cfg.model.int8_stride1,
     )
 
 

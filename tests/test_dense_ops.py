@@ -62,6 +62,34 @@ def test_dense_conv_same_matches_gather(rng):
         )
 
 
+def test_dense_conv_same_int8_close_to_fp32(rng):
+    """int8 dynamic quantization (per-in-channel activation scales folded
+    into per-out-channel weight scales) tracks the fp32 conv to ~1% of
+    the output scale, and keeps exact zeros at unoccupied cells."""
+    level, _ = make_level(rng)
+    cin, cout = 8, 6
+    feats = rng.normal(size=(2, level.capacity, cin)).astype(np.float32)
+    # heterogeneous per-channel ranges to exercise the per-channel scales
+    feats *= (10.0 ** rng.uniform(-2, 2, size=cin)).astype(np.float32)
+    feats[~np.asarray(level.valid)] = 0
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32)
+    dense = dense_ops.scatter_rows(jnp.asarray(feats), level, GRID)
+    occ = dense_ops.occupancy(level, GRID)
+    bias = rng.normal(size=cout).astype(np.float32)
+    ref = np.asarray(dense_ops.dense_conv_same(
+        dense, jnp.asarray(w), occ, bias=jnp.asarray(bias)))
+    got = np.asarray(dense_ops.dense_conv_same_int8(
+        dense, jnp.asarray(w), occ, bias=jnp.asarray(bias),
+        out_dtype=jnp.float32))
+    # unoccupied cells exactly zero (submanifold invariant)
+    unocc = np.asarray(occ)[..., 0] == 0
+    assert np.all(got[unocc] == 0)
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.02 * scale, (
+        np.abs(got - ref).max(), scale
+    )
+
+
 def test_dense_conv_down_matches_gather(rng):
     level, _ = make_level(rng)
     coarse, pool = downsample_level(level, 128)

@@ -131,6 +131,60 @@ def test_train_step_data_parallel(batch):
     )
 
 
+def _eval_metrics_for_variants(batch, variants):
+    """Train a small model, then eval it under each config-override dict
+    in `variants` and return {name: evaluator metrics} (the acceptance
+    oracle for numeric-format fast paths)."""
+    cfg = small_config()
+    state, model, criterion, tx = init_state(cfg, batch.device)
+    train_step = make_train_step(cfg, model, criterion, tx)
+    for _ in range(50):
+        state, _l, _p = train_step(state, batch.device)
+
+    counts = np.asarray(batch.device.counts)
+    results = {}
+    for name, overrides in variants.items():
+        cfg2 = small_config()
+        for k, v in overrides.items():
+            setattr(cfg2.model, k, v)
+        _, model2, criterion2, _ = init_state(cfg2, batch.device)
+        eval_step = make_eval_step(cfg2, model2, criterion2)
+        pred_class, pred_masks, _ = eval_step(state, batch.device)
+        pred_class = np.asarray(pred_class)
+        pred_masks = np.asarray(pred_masks)
+        preds, targets = [], []
+        for b in range(2):
+            n = counts[b]
+            preds.append(
+                postprocess_item(
+                    pred_class[b], pred_masks[b, :n],
+                    np.asarray(batch.device.coords[b, :n], np.float32),
+                    batch.scenes[b], use_dbscan=False, scores_threshold=0.1,
+                )
+            )
+            tv = np.asarray(batch.device.target.valid[b])
+            targets.append({
+                "labels": np.asarray(batch.device.target.labels[b])[tv],
+                "masks": np.asarray(batch.device.target.masks[b])[tv][:, :n],
+            })
+        results[name] = Mask3DEvaluator().evaluate(preds, targets, "val")
+    return results
+
+
+def test_int8_eval_metrics_match_fp32(batch):
+    """`model.int8_stride1` (int8 level-0 stride-1 convs, the flagship
+    bench fast path) must not move the evaluator metrics — the acceptance
+    gate demanded by VERDICT r2 item 2."""
+    results = _eval_metrics_for_variants(batch, {
+        "fp32": {},
+        "int8": {"int8_stride1": True, "compute_dtype": "bfloat16"},
+    })
+    for key in ("val_mean_ap", "val_mean_ap_50", "val_mean_ap_25"):
+        assert abs(results["fp32"][key] - results["int8"][key]) < 0.15, (
+            key, results["fp32"][key], results["int8"][key]
+        )
+
+
 def test_bf16_eval_metrics_match_fp32(batch):
     """The bench runs inference with `model.compute_dtype=bfloat16` on
     fp32-trained weights; the evaluator (acceptance oracle) must agree with
