@@ -125,6 +125,10 @@ def main(batch_size: int = 8):
     apply_overrides(cfg, [
         "data.point_bucket_multiple=65536",
         "model.compute_dtype=bfloat16",
+        # int8 level-0 stride-1 convs: +10.5% measured on v5e (2.54M ->
+        # 2.81M pts/s best-of-3); evaluator-metric parity with fp32 gated
+        # by tests/test_e2e.py::test_int8_eval_metrics_match_fp32.
+        "model.int8_stride1=true",
     ])
     extra = os.environ.get("MASK3D_BENCH_OVERRIDES", "")
     if extra:
