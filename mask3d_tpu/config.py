@@ -85,6 +85,9 @@ class DataConfig:
     # TPU bucketing (no reference equivalent: static-shape padding control)
     point_bucket_multiple: int = 4096
     instance_bucket_multiple: int = 8
+    # Static level-0 grid floor (gx, gy, gz): mixed-size datasets pin one
+    # grid shape -> one jit executable (see VoxelizeCollate.min_grid_dims)
+    min_grid_dims: Optional[tuple] = None
     level_cap_ratios: Tuple[float, ...] = (0.5, 0.25, 0.125, 0.0625)
 
 
@@ -144,6 +147,11 @@ class ModelConfig:
     # training always stays in compute_dtype (round() has no gradient).
     # Parity gate: tests/test_e2e.py::test_int8_eval_metrics_match_fp32
     int8_stride1: bool = False
+    # TPU-specific: promise that input features are constant ones (true
+    # for every room dataset here — datasets.py builds np.ones features);
+    # the dense stem then reads the occupancy grid instead of scattering
+    # the feature rows (one fewer full-grid scatter per forward).
+    unit_features: bool = False
     # TPU-specific: selection mechanism of the windowed Pallas sparse conv
     # (backbone_impl=gather_pallas): "onehot" (MXU one-hot matmul) or
     # "gather" (Mosaic tpu.dynamic_gather — true sparse FLOPs, no MXU

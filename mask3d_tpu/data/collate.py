@@ -179,6 +179,7 @@ class VoxelizeCollate:
         point_bucket_multiple: int = 512,
         instance_bucket_multiple: int = 8,
         num_queries: Optional[int] = None,
+        min_grid_dims: Optional[Sequence[int]] = None,
     ):
         self.mode = mode
         self.filter_out_classes = tuple(filter_out_classes)
@@ -188,6 +189,14 @@ class VoxelizeCollate:
         self.point_bucket_multiple = point_bucket_multiple
         self.instance_bucket_multiple = instance_bucket_multiple
         self.num_queries = num_queries
+        # Static level-0 grid floor: batches whose (bucketed) dims fit
+        # under it all share ONE grid shape -> one jit executable. Use for
+        # mixed-size datasets where per-batch grid buckets would churn
+        # recompiles (each flagship compile is minutes through the remote
+        # tunnel); pick the max per-axis dims over the dataset.
+        self.min_grid_dims = (
+            tuple(int(d) for d in min_grid_dims) if min_grid_dims else None
+        )
 
     def _prepare_item(self, item: dict) -> dict:
         coords, keep, dims = voxelize_item(item["coordinates"])
@@ -246,6 +255,8 @@ class VoxelizeCollate:
             np.stack([it["dims"] for it in per_item]), axis=0
         ).astype(np.int64)
         d0 = tuple(int(-(-d // 8) * 8) for d in max_d0)
+        if self.min_grid_dims is not None:
+            d0 = tuple(max(d, m) for d, m in zip(d0, self.min_grid_dims))
         grid_dims = [d0]
         for _ in range(4):
             grid_dims.append(

@@ -126,6 +126,7 @@ class InstanceSegmentationTrainer:
             point_bucket_multiple=cfg.data.point_bucket_multiple,
             instance_bucket_multiple=cfg.data.instance_bucket_multiple,
             num_queries=cfg.model.num_queries,
+            min_grid_dims=cfg.data.min_grid_dims,
         )
 
         # --- model/opt state on an example batch ---

@@ -227,3 +227,36 @@ def test_bf16_eval_metrics_match_fp32(batch):
             key, results["fp32"][key], results["bfloat16"][key]
         )
     assert results["bfloat16"]["val_mean_ap_25"] > 0.0
+
+
+def test_collate_min_grid_dims_pins_shape():
+    """`min_grid_dims` floors the level-0 grid so mixed-size batches share
+    one jit shape; outputs are unchanged (grids only pad further)."""
+    from mask3d_tpu.data import VoxelizeCollate, make_synthetic_scene
+
+    rng = np.random.default_rng(5)
+    small = [make_synthetic_scene(rng, num_rooms_x=1, num_rooms_y=1,
+                                  room_size=8, height=5, jitter=0.0,
+                                  dropout=0.3) for _ in range(2)]
+    big = [make_synthetic_scene(rng, num_rooms_x=2, num_rooms_y=2,
+                                room_size=12, height=6, jitter=0.0,
+                                dropout=0.3) for _ in range(2)]
+    floor = (40, 40, 16)
+    coll = VoxelizeCollate(point_bucket_multiple=512, min_grid_dims=floor)
+    b_small, b_big = coll(small), coll(big)
+    assert b_small.device.grid_dims[0] == floor
+    assert b_big.device.grid_dims[0] == floor
+
+    # numerics identical to the unfloored collation of the same items
+    cfg = small_config()
+    state, model, criterion, tx = init_state(cfg, b_big.device)
+    eval_step = make_eval_step(cfg, model, criterion)
+    pc1, pm1, _ = eval_step(state, b_big.device)
+    b_ref = VoxelizeCollate(point_bucket_multiple=512)(big)
+    state2, model2, criterion2, _ = init_state(cfg, b_ref.device, seed=0)
+    # same params: re-init deterministic? use the same state params by
+    # re-running eval with state on the ref batch shapes
+    eval_step2 = make_eval_step(cfg, model2, criterion2)
+    pc2, pm2, _ = eval_step2(state, b_ref.device)
+    np.testing.assert_allclose(np.asarray(pc1), np.asarray(pc2),
+                               rtol=2e-4, atol=2e-4)

@@ -33,19 +33,43 @@ class SyntheticRoomsDataset:
 
     labels_info = {0: {"name": "is_room", "validation": True}}
 
+    # Scene-shape mixture matched to the reference dataset statistics
+    # (BASELINE.md: 1-22 rooms/scene, avg 6.23): (nx, ny, multi_floor)
+    # with sampling weights; rooms = nx*ny*(2 if multi_floor else 1).
+    # Mixture mean = 6.22 rooms; range 1-18 (<= num_queries 25 with the
+    # matcher slack that 24-room scenes were measured to lack).
+    _CONFIGS = [
+        ((1, 1, False), 0.10),   # 1 room
+        ((2, 1, False), 0.16),   # 2
+        ((2, 2, False), 0.22),   # 4
+        ((3, 2, False), 0.22),   # 6
+        ((2, 2, True), 0.12),    # 8
+        ((3, 2, True), 0.10),    # 12
+        ((3, 3, True), 0.06),    # 18
+        ((4, 3, False), 0.02),   # 12
+    ]
+
     def __init__(self, n_scenes: int, seed: int):
         from mask3d_tpu.data import make_synthetic_scene
 
         rng = np.random.default_rng(seed)
         self._items = []
+        probs = np.array([w for _, w in self._CONFIGS])
+        probs = probs / probs.sum()
         for i in range(n_scenes):
-            # 3x2 rooms x 2 floors = 12 rooms/scene — inside the reference
-            # dataset's 1-22 rooms/scene range (avg 6.23) and comfortably
-            # under num_queries=25; 4x3x2=24 rooms left the matcher with
-            # zero slack and mAP@50 stayed 0 for 40 epochs.
+            (nx, ny, mf) = self._CONFIGS[
+                rng.choice(len(self._CONFIGS), p=probs)
+            ][0]
+            # room_size varies so point counts span the dataset's range
+            # (downsampled Structured3D scenes average ~47k pts); cap the
+            # size of room-heavy scenes so every scene fits the 65536
+            # point bucket (one executable, one memory budget).
+            rooms = nx * ny * (2 if mf else 1)
+            hi = min(45, 29 + int(17 * np.sqrt(8.0 / max(rooms, 8))))
+            size = int(rng.integers(28, hi))
             item = make_synthetic_scene(
-                rng, num_rooms_x=3, num_rooms_y=2, room_size=36, height=14,
-                jitter=0.3, dropout=0.25, multi_floor=True,
+                rng, num_rooms_x=nx, num_rooms_y=ny, room_size=size,
+                height=14, jitter=0.3, dropout=0.25, multi_floor=mf,
             )
             item["scene"] = f"synthetic_{seed}_{i}"
             item["idx"] = i
@@ -96,9 +120,26 @@ def main(num_epochs: int = 60):
         "validation": SyntheticRoomsDataset(8, seed=2),
         "test": SyntheticRoomsDataset(8, seed=3),
     }
-    n0 = len(datasets["train"][0]["coordinates"])
-    print(f"scene size ~{n0} pts, {num_epochs} epochs x 3 steps "
-          f"(dice needs ~1k+ steps to leave the all-negative regime)",
+    # Mixed-size scenes (BASELINE.md room-count distribution): pin ONE
+    # level-0 grid shape across all batches via the collator's grid
+    # floor, so the whole run compiles each of train/eval exactly once.
+    from mask3d_tpu.data.collate import voxelize_item
+
+    max_dims = np.zeros(3, np.int64)
+    n_rooms, n_pts = [], []
+    for split in datasets.values():
+        for item in split:
+            _, _, dims = voxelize_item(item["coordinates"])
+            max_dims = np.maximum(max_dims, np.asarray(dims, np.int64))
+            n_rooms.append(len(np.unique(item["labels"][:, 1])))
+            n_pts.append(len(item["coordinates"]))
+    cfg.data.min_grid_dims = tuple(int(-(-int(d) // 8) * 8)
+                                   for d in max_dims)
+    print(f"scene mixture: rooms min/avg/max = {min(n_rooms)}/"
+          f"{np.mean(n_rooms):.2f}/{max(n_rooms)} "
+          f"(reference: 1/6.23/22), pts avg {np.mean(n_pts):.0f}; "
+          f"pinned grid {cfg.data.min_grid_dims}; {num_epochs} epochs x 3 "
+          f"steps (dice needs ~1k+ steps to leave the all-negative regime)",
           flush=True)
 
     import shutil
