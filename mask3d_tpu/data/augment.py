@@ -162,22 +162,43 @@ def make_crops(items, rng: Optional[np.random.Generator] = None):
     return out
 
 
-def random_cuboid_crop(rng, points, features, labels, min_points: int = 30000,
-                       aspect: float = 0.8, min_crop: float = 0.5,
-                       max_crop: float = 1.0, max_tries: int = 100):
+class RandomCuboid:
     """RandomCuboid crop (reference `mask3d/datasets/random_cuboid.py:17-96`,
-    latent behind the `cropping` config): sample an axis-aligned xy cuboid of
-    random relative size with bounded aspect ratio; keep the crop if enough
-    points survive, else return the input unchanged."""
-    span = points.max(0) - points.min(0)
-    for _ in range(max_tries):
-        crop = min_crop + rng.random(3) * (max_crop - min_crop)
-        if crop[0] / crop[1] < aspect or crop[1] / crop[0] < aspect:
-            continue
-        size = span * crop
-        lo = points.min(0) + rng.random(3) * (span - size)
-        hi = lo + size
-        sel = np.all((points[:, :3] >= lo) & (points[:, :3] <= hi), axis=1)
-        if sel.sum() >= min_points or sel.sum() == len(points):
-            return points[sel], features[sel], labels[sel]
-    return points, features, labels
+    latent behind the `cropping` config; DepthContrast augmentation).
+
+    Returns a bool keep-mask over the points, like the reference: an
+    xy window of side `crop_length` around the cloud's xy center jittered
+    by +-range/4 per axis (`version1=True`, the reference's only shipped
+    mode; version1=False jitters across the full span minus a margin),
+    retried up to 100 times until >= `min_points` survive; clouds already
+    under `min_points`, and exhausted retries, keep everything.
+    """
+
+    def __init__(self, min_points: int, crop_length: float = 6.0,
+                 version1: bool = True):
+        self.min_points = min_points
+        self.crop_length = crop_length
+        self.version1 = version1
+
+    def __call__(self, point_cloud: np.ndarray,
+                 rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        rng = rng or np.random.default_rng()
+        n = point_cloud.shape[0]
+        if n < self.min_points:
+            return np.ones(n, dtype=bool)
+        xy = point_cloud[:, :2]
+        range_xy = xy.max(axis=0) - xy.min(axis=0)
+        for _ in range(100):
+            center = xy.min(axis=0) + range_xy / 2
+            if self.version1:
+                off = rng.uniform(-range_xy / 4, range_xy / 4)
+            else:
+                half = range_xy / 2 - self.crop_length / 4
+                off = rng.uniform(-half, half)
+            center = center + off
+            lo = center - self.crop_length / 2
+            hi = center + self.crop_length / 2
+            sel = np.all((xy >= lo) & (xy <= hi), axis=1)
+            if sel.sum() >= self.min_points:
+                return sel
+        return np.ones(n, dtype=bool)

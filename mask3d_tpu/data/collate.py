@@ -180,8 +180,15 @@ class VoxelizeCollate:
         instance_bucket_multiple: int = 8,
         num_queries: Optional[int] = None,
         min_grid_dims: Optional[Sequence[int]] = None,
+        small_crops: bool = False,
+        very_small_crops: bool = False,
     ):
         self.mode = mode
+        # Latent quadrant-crop options (reference VoxelizeCollate,
+        # `mask3d/datasets/utils.py:34-43`): train batches are split into
+        # xy-quadrant crops once (small) or twice (very small).
+        self.small_crops = small_crops
+        self.very_small_crops = very_small_crops
         self.filter_out_classes = tuple(filter_out_classes)
         self.filter_out_instance_ids = tuple(filter_out_instance_ids)
         self.prediction_label_offset = prediction_label_offset
@@ -228,6 +235,13 @@ class VoxelizeCollate:
     def __call__(self, batch: List[dict]) -> HostBatch:
         import os as _os
 
+        if "train" in self.mode and (self.small_crops
+                                     or self.very_small_crops):
+            from mask3d_tpu.data.augment import make_crops
+
+            batch = make_crops(batch)
+            if self.very_small_crops:
+                batch = make_crops(batch)
         b = len(batch)
         if b > 1 and (_os.cpu_count() or 1) > 1:
             # Per-item voxelization in threads (the native voxelizer and

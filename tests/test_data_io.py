@@ -274,3 +274,65 @@ def test_native_pack_encode_matches_numpy():
             big, np.array([64], np.int32),
             np.array([[320, 10, 10]], np.int32), escape_capacity=4,
         )
+
+
+def test_make_crops_quadrants():
+    """Reference make_crops (`mask3d/datasets/utils.py:332-383`): centered
+    quadrant crops with one guard point per quadrant (label 255), each crop
+    re-centered."""
+    from mask3d_tpu.data.augment import make_crops
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-10, 10, (400, 3)).astype(np.float32)
+    item = {
+        "coordinates": pts,
+        "features": np.ones((400, 1), np.float32),
+        "labels": np.ones((400, 2), np.int32),
+        "scene": "s",
+    }
+    crops = make_crops([item])
+    assert len(crops) == 4
+    total = sum(len(c["coordinates"]) for c in crops)
+    assert total == 400 + 4  # every point lands in exactly one quadrant
+    for c in crops:
+        assert np.abs(c["coordinates"].mean(0)).max() < 1e-4  # re-centered
+        assert (c["labels"] == 255).all(axis=1).sum() == 1  # one guard
+
+
+def test_random_cuboid_reference_semantics():
+    from mask3d_tpu.data.augment import RandomCuboid
+
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 20, (5000, 3))
+    # Too-small cloud: keep everything.
+    rc = RandomCuboid(min_points=10000)
+    assert rc(pts, rng).all()
+    # Normal: the kept set fits in an xy box of side crop_length.
+    rc = RandomCuboid(min_points=100, crop_length=6.0)
+    sel = rc(pts, rng)
+    assert sel.sum() >= 100
+    kept = pts[sel][:, :2]
+    span = kept.max(0) - kept.min(0)
+    assert (span <= 6.0 + 1e-9).all(), span
+    # Impossible demand within the window: fallback keeps everything.
+    rc = RandomCuboid(min_points=4999, crop_length=1.0)
+    assert rc(pts, rng).all()
+
+
+def test_collate_small_crops_wiring():
+    from mask3d_tpu.data import VoxelizeCollate, make_synthetic_scene
+
+    rng = np.random.default_rng(2)
+    items = [make_synthetic_scene(rng, num_rooms_x=2, num_rooms_y=2,
+                                  room_size=10, height=5, jitter=0.0,
+                                  dropout=0.3)]
+    hb = VoxelizeCollate(mode="train", small_crops=True,
+                         point_bucket_multiple=512)(items)
+    assert hb.device.coords.shape[0] == 4  # 1 scene -> 4 quadrant crops
+    hb2 = VoxelizeCollate(mode="train", very_small_crops=True,
+                          point_bucket_multiple=512)(items)
+    assert hb2.device.coords.shape[0] == 16
+    # test mode: crops disabled (reference gates on "train" in mode)
+    hb3 = VoxelizeCollate(mode="test", small_crops=True,
+                          point_bucket_multiple=512)(items)
+    assert hb3.device.coords.shape[0] == 1
