@@ -125,10 +125,15 @@ def main(batch_size: int = 8):
     apply_overrides(cfg, [
         "data.point_bucket_multiple=65536",
         "model.compute_dtype=bfloat16",
-        # int8 level-0 stride-1 convs: +10.5% measured on v5e (2.54M ->
-        # 2.81M pts/s best-of-3); evaluator-metric parity with fp32 gated
-        # by tests/test_e2e.py::test_int8_eval_metrics_match_fp32.
+        # int8 stride-1 convs (levels 0-1, >=96 ch): +10.5% measured on
+        # v5e for the L0-only form (2.54M -> 2.81M pts/s best-of-3);
+        # evaluator-metric parity with fp32 gated by
+        # tests/test_e2e.py::test_int8_eval_metrics_match_fp32.
         "model.int8_stride1=true",
+        # Features are constant ones here (reference indoor.yaml
+        # add_colors: false): the dense stem reads the occupancy grid
+        # instead of re-scattering identical rows (exact).
+        "model.unit_features=true",
     ])
     extra = os.environ.get("MASK3D_BENCH_OVERRIDES", "")
     if extra:

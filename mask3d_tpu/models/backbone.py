@@ -183,12 +183,18 @@ class _DenseCtx:
         ))
 
     def conv3(self, x, w, level_idx, b=None):
-        if self.int8_l0 and level_idx == 0:
-            # The four level-0 stride-1 convs are 41% of the flagship
-            # device forward; int8 MXU runs them ~1.5x faster (measured
-            # tools/bench_int8.py). Eval-only — see dense_conv_same_int8.
-            return self._cl[0](dense_ops.dense_conv_same_int8(
-                x, w, self.occ[0], bias=b,
+        if (
+            self.int8_l0 and level_idx <= 1
+            and min(w.shape[1], w.shape[2]) >= 96
+        ):
+            # The stride-1 convs at levels 0-1 dominate the flagship
+            # device forward (the four L0 ones alone were 41%); int8 MXU
+            # runs them ~1.5x faster (measured tools/bench_int8.py).
+            # Only MXU-bound widths qualify (>= 96 ch — the 32-ch L1
+            # blocks are bandwidth-bound and would pay the quantize pass
+            # for nothing). Eval-only — see dense_conv_same_int8.
+            return self._cl[level_idx](dense_ops.dense_conv_same_int8(
+                x, w, self.occ[level_idx], bias=b,
                 out_dtype=self.dt or jnp.float32,
             ))
         return self._cl[level_idx](dense_ops.dense_conv_same(
@@ -247,7 +253,8 @@ class Res16UNetBase(nn.Module):
     impl: str = "gather"  # "gather" | "gather_pallas" | "dense"
     pallas_select: str = "onehot"  # windowed-conv selection (pallas_conv)
     sp_axis: Optional[str] = None  # sequence-parallel mesh axis (dense impl)
-    int8_stride1: bool = False  # int8 level-0 stride-1 convs (dense, eval)
+    int8_stride1: bool = False  # int8 stride-1 convs (dense, eval)
+    unit_features: bool = False  # input features promised constant ones
     PLANES: Sequence[int] = (32, 64, 128, 256, 256, 256, 256, 256)
     LAYERS: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2)
     INIT_DIM: int = 32
@@ -348,7 +355,13 @@ class Res16UNetBase(nn.Module):
             ctx = _DenseCtx(sb, grid_dims, self.compute_dtype,
                             sp_axis=self.sp_axis,
                             int8_stride1=self.int8_stride1)
-            x = ctx.scatter(feats, 0)
+            if self.unit_features and self.in_channels == 1:
+                # scatter(ones) == the occupancy grid, already built by
+                # build_sparse_batch — one fewer full-grid row scatter
+                # (~2.4 ms/batch at flagship shape on v5e).
+                x = ctx.occ[0].astype(feats.dtype)
+            else:
+                x = ctx.scatter(feats, 0)
         else:
             ctx = _GatherCtx(sb, self.compute_dtype,
                              use_pallas=self.impl == "gather_pallas",

@@ -325,6 +325,11 @@ class Mask3D(nn.Module):
     # sparse/dense_ops.py::dense_conv_same_int8). Training keeps
     # compute_dtype — quantization round() has no useful gradient.
     int8_stride1: bool = False
+    # Promise that input features are constant ones (the reference's room
+    # configs set add_colors: false, `mask3d/conf/data/indoor.yaml` — every
+    # dataset here builds np.ones features). The dense stem then reads the
+    # occupancy grid instead of re-scattering identical feature rows.
+    unit_features: bool = False
 
     def _pos_enc(self, xyz, mins, maxs, gauss_b):
         if self.positional_encoding_type == "fourier":
@@ -372,6 +377,7 @@ class Mask3D(nn.Module):
             pallas_select=self.pallas_conv_select,
             sp_axis=self.sp_axis,
             int8_stride1=self.int8_stride1 and is_eval,
+            unit_features=self.unit_features,
             name="backbone",
         )
         bb_out, feature_maps, bb_grid = backbone(

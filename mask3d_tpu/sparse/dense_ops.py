@@ -442,21 +442,28 @@ def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int,
     count_c = jnp.sum(is_occ.astype(jnp.int32), axis=1)
     overflow = count_c > capacity
 
-    # Cell coordinates (static iota over the coarse grid).
-    cell = jnp.arange(cells_c, dtype=jnp.int32)
-    cz = cell % cgz
-    cy = (cell // cgz) % cgy
-    cx = cell // (cgz * cgy)
-    cell_xyz = jnp.stack(
-        [jnp.broadcast_to(v, (b, cells_c)) for v in (cx, cy, cz)], axis=-1
-    )
-
     write_row = jnp.where(is_occ & (pos < capacity), pos, capacity)
     b_idx = jnp.arange(b, dtype=jnp.int32)[:, None]
-    coords_c = (
-        jnp.zeros((b, capacity + 1, 3), jnp.int32)
+    # Scatter the LINEAR cell index (1 channel) and unravel to (x, y, z)
+    # afterwards — scatter cost is per row-channel, so this is 3x cheaper
+    # than scattering the xyz triple (~2 ms/forward across levels on v5e).
+    # Dropped/overflow rows land on 0, which unravels to (0, 0, 0) — the
+    # same padding value the old 3-channel scatter left behind.
+    cell = jnp.broadcast_to(
+        jnp.arange(cells_c, dtype=jnp.int32)[None], (b, cells_c)
+    )
+    cellrow = (
+        jnp.zeros((b, capacity + 1), jnp.int32)
         .at[b_idx, write_row]
-        .set(cell_xyz, mode="drop")[:, :capacity]
+        .set(cell, mode="drop")[:, :capacity]
+    )
+    coords_c = jnp.stack(
+        [
+            cellrow // (cgz * cgy),
+            (cellrow // cgz) % cgy,
+            cellrow % cgz,
+        ],
+        axis=-1,
     )
     nchild = (
         jnp.zeros((b, capacity + 1), jnp.int32)

@@ -73,6 +73,7 @@ def make_model(cfg: Config) -> Mask3D:
         attention_chunk=cfg.model.attention_chunk,
         attention_pallas_tile=cfg.model.attention_pallas_tile,
         int8_stride1=cfg.model.int8_stride1,
+        unit_features=cfg.model.unit_features,
     )
 
 

@@ -185,6 +185,23 @@ def test_int8_eval_metrics_match_fp32(batch):
         )
 
 
+def test_unit_features_forward_identical(batch):
+    """`model.unit_features` replaces the dense stem's feature scatter with
+    the occupancy grid — exact when features are constant ones (they are:
+    the collator builds np.ones features, reference indoor.yaml
+    add_colors: false). Forward outputs must match bit-for-bit."""
+    outs = {}
+    for name, uf in (("scatter", False), ("occ", True)):
+        cfg = small_config()
+        cfg.model.unit_features = uf
+        state, model, criterion, _ = init_state(cfg, batch.device)
+        eval_step = make_eval_step(cfg, model, criterion)
+        pred_class, pred_masks, _ = eval_step(state, batch.device)
+        outs[name] = (np.asarray(pred_class), np.asarray(pred_masks))
+    np.testing.assert_array_equal(outs["scatter"][0], outs["occ"][0])
+    np.testing.assert_array_equal(outs["scatter"][1], outs["occ"][1])
+
+
 def test_bf16_eval_metrics_match_fp32(batch):
     """The bench runs inference with `model.compute_dtype=bfloat16` on
     fp32-trained weights; the evaluator (acceptance oracle) must agree with

@@ -41,6 +41,8 @@ def run_traced(n_iter=6):
     apply_overrides(cfg, [
         "data.point_bucket_multiple=65536",
         "model.compute_dtype=bfloat16",
+        "model.int8_stride1=true",
+        "model.unit_features=true",
     ])
     extra = os.environ.get("MASK3D_BENCH_OVERRIDES", "")
     if extra:
