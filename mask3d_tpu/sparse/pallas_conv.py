@@ -44,6 +44,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mask3d_tpu.sparse import ops as _xla_ops
 
+# Max pallas grid steps (b * tiles) per call: the prefetched-scalar SMEM
+# footprint scales with grid steps on the remote v5e build (2048 measured
+# OK, ~3300 overflows 1 MB). Larger levels are row-chunked in `_forward`.
+_MAX_GRID_STEPS = 2048
+
 
 def _kernel(K, W, select, bases_ref, idx_ref, ok_ref, w_ref, f_ref, out_ref,
             fwin, sem, acc):
@@ -175,10 +180,13 @@ def _kernel_grouped(K, G, W, select, bases_ref, idx_ref, ok_ref, w_ref,
 
 def _pallas_branch(feats, weight, idx_t, ok_t, bases, tile, window,
                    select, window_mode="per_offset"):
+    # Output rows come from idx (may be a row-chunk of the level); feats is
+    # always the FULL source array (windows index absolute rows in HBM).
     b, n, cin = feats.shape
+    m = idx_t.shape[1]
     k = weight.shape[0]
     cout = weight.shape[-1]
-    nt = n // tile
+    nt = m // tile
     if window_mode == "grouped_dx":
         g = round(k ** (1.0 / 3.0))
         kern = functools.partial(_kernel_grouped, k, g, window, select)
@@ -213,9 +221,9 @@ def _pallas_branch(feats, weight, idx_t, ok_t, bases, tile, window,
         # compiled Mosaic path is TPU-only.
         interpret=jax.default_backend() != "tpu",
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * k * (window + cout) * cin,
+            flops=2 * b * m * k * (window + cout) * cin,
             bytes_accessed=b * nt * k * window * cin * 2
-            + b * n * k * 8 + b * n * cout * 4,
+            + b * m * k * 8 + b * m * cout * 4,
             transcendentals=0,
         ),
     )(
@@ -225,7 +233,7 @@ def _pallas_branch(feats, weight, idx_t, ok_t, bases, tile, window,
         weight.astype(jnp.bfloat16),
         feats.astype(jnp.bfloat16),
     )
-    return out.reshape(b, n, cout)
+    return out.reshape(b, m, cout)
 
 
 def _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select,
@@ -271,9 +279,30 @@ def _forward(feats, weight, nbr_idx, nbr_ok, tile, window, select,
         if c_pad:
             f = jnp.pad(f, ((0, 0), (0, 0), (0, c_pad)))
             w = jnp.pad(w, ((0, 0), (0, c_pad), (0, 0)))
-        return _pallas_branch(
-            f, w, nbr_idx, nbr_ok, bases, tile, window, select, window_mode
-        )
+        # The remote v5e build's SMEM budget for the prefetched scalar
+        # operand scales with the number of grid steps (b*nt); measured:
+        # 2048 steps compile (flagship A/B shape), ~3300 overflow the 1 MB
+        # SMEM ("prefetched SMEM operand 0", hall-scene capacity 851968).
+        # Chunk the row axis so each pallas_call stays <= _MAX_GRID_STEPS
+        # steps; the full (channel-padded) feats array rides along
+        # unsliced — windows index absolute rows in HBM, so splitting the
+        # output tiles is free.
+        max_nt = max(_MAX_GRID_STEPS // b, 1)
+        if nt <= max_nt:
+            return _pallas_branch(
+                f, w, nbr_idx, nbr_ok, bases, tile, window, select,
+                window_mode,
+            )
+        outs = []
+        for t0 in range(0, nt, max_nt):
+            t1 = min(t0 + max_nt, nt)
+            outs.append(_pallas_branch(
+                f, w,
+                nbr_idx[:, t0 * tile:t1 * tile],
+                nbr_ok[:, t0 * tile:t1 * tile],
+                bases[:, t0:t1], tile, window, select, window_mode,
+            ))
+        return jnp.concatenate(outs, axis=1)
 
     def slow(f, w):
         return _xla_ops.sparse_conv(

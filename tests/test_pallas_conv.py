@@ -69,6 +69,32 @@ def test_forward_matches_xla_oracle():
     )
 
 
+def test_row_chunked_path_matches_unchunked(monkeypatch):
+    """Levels whose grid-step count exceeds the prefetch-SMEM bound are
+    row-chunked across several pallas_calls (full feats ride along, only
+    output tiles split). Force chunking at test scale and check parity
+    against the single-call result."""
+    from mask3d_tpu.sparse import pallas_conv as pc
+
+    sb = _batch(n_cap=512)
+    level = sb.levels[0]
+    n = level.key.shape[1]
+    rng = np.random.default_rng(7)
+    feats = jnp.asarray(rng.normal(size=(2, n, 8)), jnp.float32)
+    feats = jnp.where(level.valid[..., None], feats, 0)
+    w = jnp.asarray(rng.normal(size=(27, 8, 8)) * 0.1, jnp.float32)
+    idx, ok = sb.nbr_idx[0], sb.nbr_ok[0]
+
+    out_one = sparse_conv_pallas(feats, w, idx, ok, 128, 256)
+    # n=512, tile=128, B=2 -> nt=4, grid steps 8; bound of 2 forces
+    # max_nt=1 -> 4 chunks per item.
+    monkeypatch.setattr(pc, "_MAX_GRID_STEPS", 2)
+    out_chunked = sparse_conv_pallas(feats, w, idx, ok, 128, 256)
+    np.testing.assert_array_equal(
+        np.asarray(out_one), np.asarray(out_chunked)
+    )
+
+
 def test_window_violation_falls_back_exactly():
     """A window much smaller than the index spread forces the premise check
     to fail; the cond must take the exact XLA branch (same result)."""

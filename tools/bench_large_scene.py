@@ -68,10 +68,14 @@ def make_hall_scene(rng, length=1920, width=160, height=64, clutter=0.01):
     # instance labels: x-segments (content irrelevant to the forward bench)
     seg = np.clip(coords[:, 0] // (length // 12), 0, 11).astype(np.int32)
     labels = np.stack([np.ones_like(seg), seg], 1)
+    features = np.ones((len(coords), 1), np.float32)
     return {
         "coordinates": coords,
-        "features": np.ones((len(coords), 1), np.float32),
+        "features": features,
         "labels": labels,
+        "raw_coordinates": coords.copy(),
+        "raw_features": features.copy(),
+        "raw_labels": labels.copy(),
         "scene": "hall",
         "idx": 0,
     }
