@@ -207,6 +207,11 @@ class TrainerConfig:
     min_epochs: int = 1
     check_val_every_n_epoch: int = 1
     num_sanity_val_steps: int = 0
+    # Write last-epoch.ckpt every N epochs (1 = the reference's
+    # RegularCheckpointing, mask3d/trainer/trainer.py:28-31; raise for
+    # short-epoch runs where the full-state write dominates epoch wall
+    # time). The final epoch always saves, so auto-resume stays exact.
+    save_last_every_n_epochs: int = 1
     # TPU-specific
     num_data_parallel: int = 1
     # Gradient accumulation: split each batch into K equal micro-batches

@@ -438,7 +438,11 @@ class InstanceSegmentationTrainer:
                 self.metrics.log_epoch(
                     self.epoch, int(self.state.step), extra=val_metrics
                 )
-            self.ckpt_mgr.save_last(self.state, self.epoch, val_metrics)
+            if (
+                (self.epoch + 1) % cfg.trainer.save_last_every_n_epochs == 0
+                or self.epoch + 1 == cfg.trainer.max_epochs
+            ):
+                self.ckpt_mgr.save_last(self.state, self.epoch, val_metrics)
             self.ckpt_mgr.maybe_save_best(self.state, self.epoch, val_metrics)
             logger.info(
                 f"epoch {self.epoch}: "
