@@ -28,6 +28,23 @@ class MetricLogger:
         self.csv_path = os.path.join(directory, "metrics.csv")
         self._csv_fields = ["epoch", "step"]
         self._csv_rows = []
+        # The CSV is rewritten whole each epoch (fieldnames can grow), so a
+        # resumed process must seed from the existing file or the prior
+        # history is lost on its first flush (the reference's CSVLogger
+        # keeps history across resumes via version dirs, mask3d/README.md:19).
+        if os.path.exists(self.csv_path):
+            try:
+                with open(self.csv_path, newline="") as f:
+                    r = csv.DictReader(f)
+                    for name in r.fieldnames or []:
+                        if name not in self._csv_fields:
+                            self._csv_fields.append(name)
+                    self._csv_rows = [
+                        {k: v for k, v in row.items() if v not in ("", None)}
+                        for row in r
+                    ]
+            except Exception as e:
+                logger.warning(f"could not seed metrics.csv history: {e}")
         self._epoch_acc: Dict[str, list] = defaultdict(list)
         self._tb = None
         if use_tensorboard:

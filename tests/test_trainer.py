@@ -375,3 +375,30 @@ def test_measure_runtime_segment_contract(data_root, tmp_path):
     for name in expected:
         assert stats[name]["count"] >= 1
         assert stats[name]["mean"] >= 0.0
+
+
+def test_metric_logger_preserves_history_across_resume(tmp_path):
+    """The CSV is rewritten whole each epoch (fieldnames can grow); a
+    resumed process must seed from the existing file so auto-resume keeps
+    the metric history (the reference CSVLogger keeps history via version
+    dirs, mask3d/README.md:19)."""
+    import csv
+
+    from mask3d_tpu.train.logging_utils import MetricLogger
+
+    d = str(tmp_path)
+    m = MetricLogger(d, use_tensorboard=False)
+    m.log_step({"train_loss": 2.0}, 1)
+    m.log_epoch(0, 3)
+    m.log_epoch(1, 6, extra={"val_mean_ap_50": 0.5})
+    m.close()
+
+    m2 = MetricLogger(d, use_tensorboard=False)  # simulated resume
+    m2.log_step({"train_loss": 1.0}, 9)
+    m2.log_epoch(2, 9)
+    m2.close()
+    with open(tmp_path / "metrics.csv", newline="") as f:
+        rows = list(csv.DictReader(f))
+    assert [r["epoch"] for r in rows] == ["0", "1", "2"]
+    assert rows[1]["val_mean_ap_50"] == "0.5"
+    assert rows[2]["train_loss"] == "1.0"
