@@ -184,15 +184,18 @@ class _DenseCtx:
 
     def conv3(self, x, w, level_idx, b=None):
         if (
-            self.int8_l0 and level_idx <= 1
+            self.int8_l0
             and min(w.shape[1], w.shape[2]) >= 96
         ):
-            # The stride-1 convs at levels 0-1 dominate the flagship
-            # device forward (the four L0 ones alone were 41%); int8 MXU
-            # runs them ~1.5x faster (measured tools/bench_int8.py).
-            # Only MXU-bound widths qualify (>= 96 ch — the 32-ch L1
-            # blocks are bandwidth-bound and would pay the quantize pass
-            # for nothing). Eval-only — see dense_conv_same_int8.
+            # Stride-1 convs dominate the flagship device forward (the
+            # four L0 ones alone were 41% pre-int8); int8 MXU runs them
+            # ~2x faster (measured tools/bench_int8.py + the round-3
+            # trace: 53.3 -> 27.0 ms). Only MXU-bound widths qualify
+            # (>= 96 ch — the 32/64-ch encoder blocks are bandwidth-bound
+            # and would pay the quantize pass for nothing); that gate
+            # covers every level: the coarse 128/256-ch grids are 64-4096x
+            # smaller, so their quantize passes are negligible. Eval-only
+            # — see dense_conv_same_int8.
             return self._cl[level_idx](dense_ops.dense_conv_same_int8(
                 x, w, self.occ[level_idx], bias=b,
                 out_dtype=self.dt or jnp.float32,
