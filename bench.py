@@ -58,7 +58,7 @@ NUM_BATCHES = 48
 # driver's single 48-batch window coincided with host/tunnel contention.
 # Every rep's per-phase accounting is printed as `#` lines so the recorded
 # BENCH_rNN explains where the wall went.
-REPS = int(os.environ.get("MASK3D_BENCH_REPS", "3"))
+REPS = int(os.environ.get("MASK3D_BENCH_REPS", "5"))
 # Feeder threads collate on host CPU; size them to the machine instead of
 # the round-2 hard-coded 3 (on a 1-core driver host extra feeders just
 # steal cycles from the dispatch/fetch thread). One feeder has ~2.6x
