@@ -123,13 +123,23 @@ def main(batch_size: int = 8):
     # parity with fp32 eval verified through the evaluator oracle
     # (tests/test_e2e.py::test_bf16_eval_metrics_match_fp32).
     apply_overrides(cfg, [
-        "data.point_bucket_multiple=65536",
+        # 49152 holds every bench scene (max observed 40,792 voxels) in
+        # ONE bucket — a single executable (multi-bucket switching was the
+        # round-3 8192 dead end) with 25% fewer rows than 65536: row taps
+        # and pyramid ops shrink proportionally (86.2 vs 93.4 ms device
+        # forward, jax.profiler 2026-08-19).
+        "data.point_bucket_multiple=49152",
         "model.compute_dtype=bfloat16",
-        # int8 stride-1 convs (levels 0-1, >=96 ch): +10.5% measured on
-        # v5e for the L0-only form (2.54M -> 2.81M pts/s best-of-3);
-        # evaluator-metric parity with fp32 gated by
-        # tests/test_e2e.py::test_int8_eval_metrics_match_fp32.
+        # int8 stride-1 + 1x1 convs (>=96 ch, all levels): measured 2x
+        # the bf16 conv rate on v5e; evaluator-metric parity with fp32
+        # gated by tests/test_e2e.py::test_int8_eval_metrics_match_fp32
+        # (<= 0.01 mAP over 16 scenes + logit-level bounds).
         "model.int8_stride1=true",
+        # STATIC activation scales from the InstanceNorm affine params
+        # (sigma=10 bound, calibrated in tools/calib_int8_logits.py):
+        # removes the per-conv absmax reduce passes (93.4 -> 86.2 ms with
+        # the bucket change; -5.4 ms alone at 65536).
+        "model.int8_act_sigma=10",
         # Features are constant ones here (reference indoor.yaml
         # add_colors: false): the dense stem reads the occupancy grid
         # instead of re-scattering identical rows (exact).

@@ -57,6 +57,12 @@ def main(argv=None):
     cfg.general.train_mode = command == "train"
     seed_everything(cfg.general.seed)
 
+    # Multi-host wiring (no-op unless trainer.distributed=true): must run
+    # before any other jax call so jax.devices() is the global list.
+    from mask3d_tpu.parallel import dist
+
+    dist.maybe_initialize(cfg)
+
     trainer = InstanceSegmentationTrainer(cfg)
     if command == "train":
         trainer.fit()

@@ -147,6 +147,15 @@ class ModelConfig:
     # training always stays in compute_dtype (round() has no gradient).
     # Parity gate: tests/test_e2e.py::test_int8_eval_metrics_match_fp32
     int8_stride1: bool = False
+    # TPU-specific: sigma multiplier for STATIC int8 activation scales
+    # derived from the InstanceNorm affine params (per-channel bound
+    # sigma*|gamma|+|beta| on the standardized post-norm activations —
+    # values beyond the bound saturate at +-127). Removes the per-conv
+    # absmax reduce pass of dynamic quantization (~5 ms/forward on v5e)
+    # and lets the quantize fuse into the norm/residual epilogues.
+    # 0 = dynamic per-channel absmax (the round-3 scheme). Parity gate:
+    # tests/test_e2e.py::test_int8_eval_metrics_match_fp32.
+    int8_act_sigma: float = 0.0
     # TPU-specific: promise that input features are constant ones (true
     # for every room dataset here — datasets.py builds np.ones features);
     # the dense stem then reads the occupancy grid instead of scattering
@@ -157,6 +166,11 @@ class ModelConfig:
     # "gather" (Mosaic tpu.dynamic_gather — true sparse FLOPs, no MXU
     # selection work; see sparse/pallas_conv.py)
     pallas_conv_select: str = "onehot"
+    # Window schedule of the same kernel: "per_offset" (one window per
+    # kernel offset) or "grouped_dx" (one window per x-offset group — each
+    # DMA'd window amortizes K/3 select+matmul steps; wins when the
+    # per-offset y/z windows were already span-limited by geometry).
+    pallas_window_mode: str = "per_offset"
 
 
 @dataclass
@@ -196,6 +210,10 @@ class SchedulerConfig:
     interval: str = "step"
     max_lr: Optional[float] = None  # onecyclelr
     steps_per_epoch: int = -1
+    # steplr / lambdalr groups (both are torch StepLR in the reference:
+    # `mask3d/conf/scheduler/lambdalr.yaml` — step_size 99999 at
+    # interval=epoch == constant; the tick unit is epochs).
+    step_size: int = 99999
 
 
 @dataclass
@@ -233,6 +251,17 @@ class TrainerConfig:
     # splits). Costs host post-processing per train step; disable for
     # max-throughput runs.
     train_split_metrics: bool = True
+    # Multi-host (multi-process / DCN) data parallelism: wire
+    # `jax.distributed.initialize()` at entry (parallel/dist.py — the TPU
+    # translation of the reference's latent DDP path, SURVEY §5.8).
+    # Single-process runs leave it False and nothing changes. When set,
+    # every host must run the same config; `num_data_parallel` then counts
+    # GLOBAL devices, `data.batch_size` stays the GLOBAL batch size, and
+    # each host collates only its own contiguous slice of every batch.
+    distributed: bool = False
+    coordinator_address: str = ""  # "" = auto-detect (TPU pod env)
+    num_processes: int = -1  # -1 = auto-detect
+    process_id: int = -1  # -1 = auto-detect
     # test(): also measure the model_forward_* sub-phase segments of the
     # measure_runtime contract via prefix-difference timing
     # (train/loop.py::measure_model_phases; reference

@@ -60,11 +60,18 @@ class _GatherCtx:
     """
 
     def __init__(self, sb: SparseBatch, compute_dtype, use_pallas=False,
-                 pallas_select="onehot"):
+                 pallas_select="onehot", pallas_window_mode="per_offset"):
         self.sb = sb
         self.dt = compute_dtype
         self.use_pallas = use_pallas
-        self.pallas_select = pallas_select
+        self.window_mode = pallas_window_mode
+        # Compile-probe the dynamic-gather kernel variant and downgrade to
+        # "onehot" if this libtpu build rejects it (no user-reachable
+        # Mosaic crash from a config flag).
+        self.pallas_select = (
+            pallas_conv.resolve_select(pallas_select) if use_pallas
+            else pallas_select
+        )
 
     def to_level(self, feats, level_idx):
         return feats  # rows are already per-level
@@ -72,7 +79,8 @@ class _GatherCtx:
     def _conv(self, feats, w, idx, ok, b):
         if self.use_pallas and pallas_conv.supports(feats.shape[1]):
             out = pallas_conv.sparse_conv_pallas(
-                feats, w, idx, ok, select=self.pallas_select
+                feats, w, idx, ok, select=self.pallas_select,
+                window_mode=self.window_mode,
             )
             if b is not None:
                 out = out + b
@@ -82,7 +90,8 @@ class _GatherCtx:
     def conv_in(self, feats, w, b):
         return self._conv(feats, w, self.sb.nbr0_idx, self.sb.nbr0_ok, b)
 
-    def conv3(self, feats, w, level_idx, b=None):
+    def conv3(self, feats, w, level_idx, b=None, bound=None):
+        del bound  # static int8 activation bounds are a dense-impl knob
         return self._conv(
             feats, w, self.sb.nbr_idx[level_idx], self.sb.nbr_ok[level_idx],
             b,
@@ -105,7 +114,8 @@ class _GatherCtx:
             feats, self.sb.levels[level_idx].valid, gamma, beta
         )
 
-    def conv1x1(self, feats, w, level_idx):
+    def conv1x1(self, feats, w, level_idx, bound=None):
+        del bound
         x = feats
         if self.dt is not None:
             x = x.astype(self.dt)
@@ -140,12 +150,13 @@ class _DenseCtx:
     """
 
     def __init__(self, sb: SparseBatch, grid_dims, compute_dtype,
-                 sp_axis=None, int8_stride1=False):
+                 sp_axis=None, int8_stride1=False, int8_act_sigma=0.0):
         from mask3d_tpu.parallel.mesh import maybe_constrain, sp_min_per_shard
 
         self.sb = sb
         self.dt = compute_dtype
         self.int8_l0 = int8_stride1
+        self.int8_sigma = float(int8_act_sigma)
         self.grid_dims = list(grid_dims)  # per level
         # Per-level: shard the grid-x axis only while the per-shard extent
         # stays >= 2 (XLA SPMD miscompile guard, see parallel/mesh.py);
@@ -182,7 +193,20 @@ class _DenseCtx:
             x, w, self.occ[0], bias=b, compute_dtype=self.dt
         ))
 
-    def conv3(self, x, w, level_idx, b=None):
+    def stem_fused(self, x, w, gamma, beta):
+        """Zfold stem conv + InstanceNorm + ReLU fused in the folded
+        layout (dense_ops.dense_stem_fused — numerically identical to
+        conv_in -> norm -> relu, oracle-tested)."""
+        return self._cl[0](dense_ops.dense_stem_fused(
+            x, w, self.occ[0], gamma, beta, compute_dtype=self.dt
+        ))
+
+    def _int8_bound(self, bound):
+        """Static activation bound, only honored when int8_act_sigma>0
+        (bound arrays are derived from norm affine params upstream)."""
+        return bound if self.int8_sigma > 0 else None
+
+    def conv3(self, x, w, level_idx, b=None, bound=None):
         if (
             self.int8_l0
             and min(w.shape[1], w.shape[2]) >= 96
@@ -199,6 +223,7 @@ class _DenseCtx:
             return self._cl[level_idx](dense_ops.dense_conv_same_int8(
                 x, w, self.occ[level_idx], bias=b,
                 out_dtype=self.dt or jnp.float32,
+                act_bound=self._int8_bound(bound),
             ))
         return self._cl[level_idx](dense_ops.dense_conv_same(
             x, w, self.occ[level_idx], bias=b, compute_dtype=self.dt
@@ -219,7 +244,19 @@ class _DenseCtx:
             x, self.occ[level_idx], gamma, beta
         )
 
-    def conv1x1(self, x, w, level_idx):
+    def conv1x1(self, x, w, level_idx, bound=None):
+        if (
+            self.int8_l0
+            and min(w.shape[1], w.shape[2]) >= 96
+        ):
+            # Residual-downsample 1x1s on the big stride-1/2 grids (e.g.
+            # stage 8's 128->96 on the L0 grid) ride the same int8 MXU
+            # path as the 3^3 convs (k=1 weights).
+            return self._cl[level_idx](dense_ops.dense_conv_same_int8(
+                x, w, self.occ[level_idx],
+                out_dtype=self.dt or jnp.float32,
+                act_bound=self._int8_bound(bound),
+            ))
         return self._cl[level_idx](dense_ops.dense_conv_same(
             x, w, self.occ[level_idx], compute_dtype=self.dt
         ))
@@ -255,8 +292,13 @@ class Res16UNetBase(nn.Module):
     compute_dtype: Optional[Dtype] = None
     impl: str = "gather"  # "gather" | "gather_pallas" | "dense"
     pallas_select: str = "onehot"  # windowed-conv selection (pallas_conv)
+    pallas_window_mode: str = "per_offset"  # windowed-conv DMA schedule
     sp_axis: Optional[str] = None  # sequence-parallel mesh axis (dense impl)
     int8_stride1: bool = False  # int8 stride-1 convs (dense, eval)
+    # >0: STATIC int8 activation scales from InstanceNorm affine params
+    # (bound sigma*|gamma|+|beta| per channel) instead of dynamic absmax
+    # reduce passes — see `_act_bound` and dense_ops.dense_conv_same_int8.
+    int8_act_sigma: float = 0.0
     unit_features: bool = False  # input features promised constant ones
     PLANES: Sequence[int] = (32, 64, 128, 256, 256, 256, 256, 256)
     LAYERS: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2)
@@ -275,6 +317,33 @@ class Res16UNetBase(nn.Module):
             self.param(name + "_bias", nn.initializers.zeros, (c,)),
         )
 
+    def _act_bound(self, gamma, beta):
+        """Static per-channel bound on |post-norm activation| for int8
+        activation scales (`int8_act_sigma`).
+
+        A post-InstanceNorm activation is standardized per (item, channel):
+        z = gamma * zhat + beta with zhat of mean 0 / var 1 over occupied
+        cells, so |z| <= sigma*|gamma| + |beta| for all but the
+        P(|zhat| > sigma) tail — which the int8 quantizer SATURATES at
+        +-127 (a clip, not an overflow). ReLU only shrinks |z|; residual
+        adds sum bounds; concats concatenate them (threaded through
+        __call__/_block). Replaces the per-conv dynamic absmax reduce
+        passes of the round-3 scheme (~10 ms/forward on v5e). Parity gate:
+        tests/test_e2e.py::test_int8_eval_metrics_match_fp32.
+        """
+        s = self.int8_act_sigma
+        if s <= 0 or self.impl != "dense" or not self.int8_stride1:
+            return None
+        return s * jnp.abs(gamma.astype(jnp.float32)) + jnp.abs(
+            beta.astype(jnp.float32)
+        )
+
+    @staticmethod
+    def _cat_bound(a, b):
+        if a is None or b is None:
+            return None
+        return jnp.concatenate([a, b])
+
     def _se(self, ctx, name, x, level_idx, c):
         """SELayer (`mask3d/models/modules/senet_block.py:8-24`): global
         pool -> bottleneck MLP -> sigmoid -> broadcast multiply (zeros at
@@ -289,62 +358,85 @@ class Res16UNetBase(nn.Module):
         y = nn.sigmoid(jnp.dot(y, w2) + b2)
         return x * y.astype(x.dtype)
 
-    def _block(self, ctx, name, x, level_idx, cin, planes):
-        """BasicBlock (`mask3d/models/modules/resnet_block.py:7-68`)."""
+    def _block(self, ctx, name, x, level_idx, cin, planes, bin_=None):
+        """BasicBlock (`mask3d/models/modules/resnet_block.py:7-68`).
+
+        `bin_` is the optional static activation bound on `x` (int8 scale
+        derivation — `_act_bound`); returns `(out, bound_of_out)`.
+        """
         residual = x
         w1 = self._kernel(f"{name}_conv1", 27, cin, planes)
         g1, b1 = self._norm_params(f"{name}_norm1", planes)
-        out = ctx.conv3(x, w1, level_idx)
+        out = ctx.conv3(x, w1, level_idx, bound=bin_)
         out = nn.relu(ctx.norm(out, g1, b1, level_idx))
         w2 = self._kernel(f"{name}_conv2", 27, planes, planes)
         g2, b2 = self._norm_params(f"{name}_norm2", planes)
-        out = ctx.conv3(out, w2, level_idx)
+        out = ctx.conv3(out, w2, level_idx, bound=self._act_bound(g1, b1))
         out = ctx.norm(out, g2, b2, level_idx)
+        bout = self._act_bound(g2, b2)
         if self.SE:
+            # sigmoid gate in (0, 1): bounds are preserved.
             out = self._se(ctx, name, out, level_idx, planes)
         if cin != planes:
             wd = self._kernel(f"{name}_downsample", 1, cin, planes)
             gd, bd = self._norm_params(f"{name}_downsample_norm", planes)
-            residual = ctx.conv1x1(residual, wd, level_idx)
+            residual = ctx.conv1x1(residual, wd, level_idx, bound=bin_)
             residual = ctx.norm(residual, gd, bd, level_idx)
-        return nn.relu(out + residual)
+            bres = self._act_bound(gd, bd)
+        else:
+            bres = bin_
+        bout = None if (bout is None or bres is None) else bout + bres
+        return nn.relu(out + residual), bout
 
-    def _block_bottleneck(self, ctx, name, x, level_idx, cin, planes):
+    def _block_bottleneck(self, ctx, name, x, level_idx, cin, planes,
+                          bin_=None):
         """Bottleneck block (`mask3d/models/modules/resnet_block.py:83-146`):
         1x1 reduce -> 3^3 conv -> 1x1 expand (x4), InstanceNorm."""
         e = self.EXPANSION
         residual = x
         w1 = self._kernel(f"{name}_conv1", 1, cin, planes)
         g1, b1 = self._norm_params(f"{name}_norm1", planes)
-        out = nn.relu(ctx.norm(ctx.conv1x1(x, w1, level_idx), g1, b1,
-                               level_idx))
+        out = nn.relu(ctx.norm(
+            ctx.conv1x1(x, w1, level_idx, bound=bin_), g1, b1, level_idx
+        ))
         w2 = self._kernel(f"{name}_conv2", 27, planes, planes)
         g2, b2 = self._norm_params(f"{name}_norm2", planes)
-        out = nn.relu(ctx.norm(ctx.conv3(out, w2, level_idx), g2, b2,
-                               level_idx))
+        out = nn.relu(ctx.norm(
+            ctx.conv3(out, w2, level_idx, bound=self._act_bound(g1, b1)),
+            g2, b2, level_idx,
+        ))
         w3 = self._kernel(f"{name}_conv3", 1, planes, planes * e)
         g3, b3 = self._norm_params(f"{name}_norm3", planes * e)
-        out = ctx.norm(ctx.conv1x1(out, w3, level_idx), g3, b3, level_idx)
+        out = ctx.norm(
+            ctx.conv1x1(out, w3, level_idx, bound=self._act_bound(g2, b2)),
+            g3, b3, level_idx,
+        )
+        bout = self._act_bound(g3, b3)
         if self.SE:
             out = self._se(ctx, name, out, level_idx, planes * e)
         if cin != planes * e:
             wd = self._kernel(f"{name}_downsample", 1, cin, planes * e)
             gd, bd = self._norm_params(f"{name}_downsample_norm", planes * e)
-            residual = ctx.conv1x1(residual, wd, level_idx)
+            residual = ctx.conv1x1(residual, wd, level_idx, bound=bin_)
             residual = ctx.norm(residual, gd, bd, level_idx)
-        return nn.relu(out + residual)
+            bres = self._act_bound(gd, bd)
+        else:
+            bres = bin_
+        bout = None if (bout is None or bres is None) else bout + bres
+        return nn.relu(out + residual), bout
 
-    def _blocks(self, ctx, stage, x, level_idx, cin, planes, n):
+    def _blocks(self, ctx, stage, x, level_idx, cin, planes, n, bin_=None):
         block = (
             self._block_bottleneck if self.BLOCK == "bottleneck"
             else self._block
         )
         for i in range(n):
-            x = block(
+            x, bin_ = block(
                 ctx, f"block{stage}_{i}", x, level_idx,
                 cin if i == 0 else planes * self.EXPANSION, planes,
+                bin_=bin_,
             )
-        return x
+        return x, bin_
 
     @nn.compact
     def __call__(self, feats, sb: SparseBatch, grid_dims=None,
@@ -357,7 +449,8 @@ class Res16UNetBase(nn.Module):
             assert grid_dims is not None, "dense impl needs static grid dims"
             ctx = _DenseCtx(sb, grid_dims, self.compute_dtype,
                             sp_axis=self.sp_axis,
-                            int8_stride1=self.int8_stride1)
+                            int8_stride1=self.int8_stride1,
+                            int8_act_sigma=self.int8_act_sigma)
             if self.unit_features and self.in_channels == 1:
                 # scatter(ones) == the occupancy grid, already built by
                 # build_sparse_batch — one fewer full-grid row scatter
@@ -368,20 +461,30 @@ class Res16UNetBase(nn.Module):
         else:
             ctx = _GatherCtx(sb, self.compute_dtype,
                              use_pallas=self.impl == "gather_pallas",
-                             pallas_select=self.pallas_select)
+                             pallas_select=self.pallas_select,
+                             pallas_window_mode=self.pallas_window_mode)
             x = feats
 
         # --- Encoder (reference res16unet.py:244-267) ---
         w = self._kernel("conv0p1s1", k0, self.in_channels, self.INIT_DIM)
         g, b = self._norm_params("bn0", self.INIT_DIM)
-        out = ctx.conv_in(x, w, None)
-        out_p1 = nn.relu(ctx.norm(out, g, b, 0))
+        if self.impl == "dense" and k0 * self.in_channels <= 512:
+            # Fused zfold conv + IN + ReLU in the folded layout (identical
+            # numerics; kills the stem's 32-lane relayout passes).
+            out_p1 = ctx.stem_fused(x, w, g, b)
+        else:
+            out = ctx.conv_in(x, w, None)
+            out_p1 = nn.relu(ctx.norm(out, g, b, 0))
+        b_p1 = self._act_bound(g, b)
 
         def down(name, x_in, fine_idx, cin, cout):
             w = self._kernel(name, 8, cin, cout)
             g, b = self._norm_params(name.replace("conv", "bn"), cout)
             out = ctx.conv_down(x_in, w, fine_idx)
-            return nn.relu(ctx.norm(out, g, b, fine_idx + 1))
+            return (
+                nn.relu(ctx.norm(out, g, b, fine_idx + 1)),
+                self._act_bound(g, b),
+            )
 
         # Phase markers for prefix-difference profiling (see
         # `train/loop.py::measure_model_phases`): tiny reductions sown into
@@ -392,17 +495,20 @@ class Res16UNetBase(nn.Module):
         mark("bb_stem", out_p1)
 
         e = self.EXPANSION
-        out = down("conv1p1s2", out_p1, 0, self.INIT_DIM, self.INIT_DIM)
-        out_b1p2 = self._blocks(ctx, 1, out, 1, self.INIT_DIM, p[0], lay[0])
+        out, bnd = down("conv1p1s2", out_p1, 0, self.INIT_DIM, self.INIT_DIM)
+        out_b1p2, b_b1p2 = self._blocks(
+            ctx, 1, out, 1, self.INIT_DIM, p[0], lay[0], bnd)
 
-        out = down("conv2p2s2", out_b1p2, 1, p[0] * e, p[0] * e)
-        out_b2p4 = self._blocks(ctx, 2, out, 2, p[0] * e, p[1], lay[1])
+        out, bnd = down("conv2p2s2", out_b1p2, 1, p[0] * e, p[0] * e)
+        out_b2p4, b_b2p4 = self._blocks(
+            ctx, 2, out, 2, p[0] * e, p[1], lay[1], bnd)
 
-        out = down("conv3p4s2", out_b2p4, 2, p[1] * e, p[1] * e)
-        out_b3p8 = self._blocks(ctx, 3, out, 3, p[1] * e, p[2], lay[2])
+        out, bnd = down("conv3p4s2", out_b2p4, 2, p[1] * e, p[1] * e)
+        out_b3p8, b_b3p8 = self._blocks(
+            ctx, 3, out, 3, p[1] * e, p[2], lay[2], bnd)
 
-        out = down("conv4p8s2", out_b3p8, 3, p[2] * e, p[2] * e)
-        out = self._blocks(ctx, 4, out, 4, p[2] * e, p[3], lay[3])
+        out, bnd = down("conv4p8s2", out_b3p8, 3, p[2] * e, p[2] * e)
+        out, bnd = self._blocks(ctx, 4, out, 4, p[2] * e, p[3], lay[3], bnd)
         mark("bb_encoder", out)
 
         feature_maps = [ctx.rows(out, 4)]  # stride 16
@@ -412,28 +518,35 @@ class Res16UNetBase(nn.Module):
             w = self._kernel(name, 8, cin, cout)
             g, b = self._norm_params(name.replace("convtr", "bntr"), cout)
             out = ctx.conv_tr(x_in, w, coarse_idx)
-            return nn.relu(ctx.norm(out, g, b, coarse_idx - 1))
+            return (
+                nn.relu(ctx.norm(out, g, b, coarse_idx - 1)),
+                self._act_bound(g, b),
+            )
 
-        out = up("convtr4p16s2", out, 4, p[3] * e, p[4])
+        out, bnd = up("convtr4p16s2", out, 4, p[3] * e, p[4])
         out = ctx.cat(out, out_b3p8)
-        out = self._blocks(ctx, 5, out, 3, p[4] + p[2] * e, p[4], lay[4])
+        out, bnd = self._blocks(ctx, 5, out, 3, p[4] + p[2] * e, p[4],
+                                lay[4], self._cat_bound(bnd, b_b3p8))
         feature_maps.append(ctx.rows(out, 3))  # stride 8
 
-        out = up("convtr5p8s2", out, 3, p[4] * e, p[5])
+        out, bnd = up("convtr5p8s2", out, 3, p[4] * e, p[5])
         out = ctx.cat(out, out_b2p4)
-        out = self._blocks(ctx, 6, out, 2, p[5] + p[1] * e, p[5], lay[5])
+        out, bnd = self._blocks(ctx, 6, out, 2, p[5] + p[1] * e, p[5],
+                                lay[5], self._cat_bound(bnd, b_b2p4))
         feature_maps.append(ctx.rows(out, 2))  # stride 4
 
-        out = up("convtr6p4s2", out, 2, p[5] * e, p[6])
+        out, bnd = up("convtr6p4s2", out, 2, p[5] * e, p[6])
         out = ctx.cat(out, out_b1p2)
-        out = self._blocks(ctx, 7, out, 1, p[6] + p[0] * e, p[6], lay[6])
+        out, bnd = self._blocks(ctx, 7, out, 1, p[6] + p[0] * e, p[6],
+                                lay[6], self._cat_bound(bnd, b_b1p2))
         feature_maps.append(ctx.rows(out, 1))  # stride 2
         mark("bb_dec_to_s2", out)
 
-        out = up("convtr7p2s2", out, 1, p[6] * e, p[7])
+        out, bnd = up("convtr7p2s2", out, 1, p[6] * e, p[7])
         mark("bb_convtr7", out)
         out = ctx.cat(out, out_p1)
-        out = self._blocks(ctx, 8, out, 0, p[7] + self.INIT_DIM, p[7], lay[7])
+        out, bnd = self._blocks(ctx, 8, out, 0, p[7] + self.INIT_DIM, p[7],
+                                lay[7], self._cat_bound(bnd, b_p1))
         mark("bb_stage8", out)
         out_rows = ctx.rows(out, 0)
         feature_maps.append(out_rows)  # stride 1

@@ -152,13 +152,22 @@ class MultiheadAttention(nn.Module):
         ):
             from mask3d_tpu.ops.pallas_attention import (
                 masked_cross_attention,
+                pallas_attention_available,
             )
 
-            out = masked_cross_attention(
-                wq, wk, wv, mask, h, tile=pallas_tile,
-                interpret=jax.default_backend() != "tpu",
-            )
-            return self.wo(out)
+            # libtpu builds rotate under the remote fleet and Mosaic
+            # lowering of this kernel has broken across builds; probe
+            # once and downgrade to the chunked/one-shot XLA path below
+            # instead of crashing (VERDICT r3 item 4).
+            if pallas_attention_available(d, h, pallas_tile):
+                out = masked_cross_attention(
+                    wq, wk, wv, mask, h, tile=pallas_tile,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                return self.wo(out)
+            # Downgrade: online-softmax chunks at the tile size (same
+            # O(tile) working set as the kernel would have had).
+            chunk = chunk if chunk > 0 else pallas_tile
 
         if (
             chunk > 0 and mask is not None
@@ -303,6 +312,7 @@ class Mask3D(nn.Module):
     backbone_name: str = "Res16UNet34C"
     backbone_impl: str = "gather"  # "gather" | "dense" (see backbone.py)
     pallas_conv_select: str = "onehot"  # windowed-conv selection mechanism
+    pallas_window_mode: str = "per_offset"  # windowed-conv DMA schedule
     in_channels: int = 1
     conv1_kernel_size: int = 5
     compute_dtype: Optional[Any] = None
@@ -325,6 +335,10 @@ class Mask3D(nn.Module):
     # sparse/dense_ops.py::dense_conv_same_int8). Training keeps
     # compute_dtype — quantization round() has no useful gradient.
     int8_stride1: bool = False
+    # >0: static int8 activation scales derived from the InstanceNorm
+    # affine params (sigma*|gamma|+|beta| bound) instead of dynamic
+    # per-conv absmax reduces (see backbone.py::_act_bound).
+    int8_act_sigma: float = 0.0
     # Promise that input features are constant ones (the reference's room
     # configs set add_colors: false, `mask3d/conf/data/indoor.yaml` — every
     # dataset here builds np.ones features). The dense stem then reads the
@@ -375,8 +389,10 @@ class Mask3D(nn.Module):
             compute_dtype=self.compute_dtype,
             impl=self.backbone_impl,
             pallas_select=self.pallas_conv_select,
+            pallas_window_mode=self.pallas_window_mode,
             sp_axis=self.sp_axis,
             int8_stride1=self.int8_stride1 and is_eval,
+            int8_act_sigma=self.int8_act_sigma,
             unit_features=self.unit_features,
             name="backbone",
         )

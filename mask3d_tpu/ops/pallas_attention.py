@@ -168,3 +168,40 @@ def _mca_bwd(num_heads, tile, interpret, res, g):
 
 
 masked_cross_attention.defvjp(_mca_fwd, _mca_bwd)
+
+
+def pallas_attention_available(d_model: int, num_heads: int,
+                               tile: int) -> bool:
+    """One-time compile probe for the fused kernel on this backend build.
+
+    Mosaic lowering of this kernel has broken across remote libtpu
+    rotations (compiled 2026-08-17, Mosaic 500 on the 2026-08-19 build —
+    docs/ARCHITECTURE.md); `model.attention_pallas_tile>0` must downgrade
+    to the chunked XLA path instead of crashing. Non-TPU backends always
+    return True (the interpret path needs no Mosaic). The probe compiles
+    a minimal (B=1, Q=8, S=2*tile) instance at the caller's d/h/tile —
+    the parameters Mosaic tiling actually depends on.
+    """
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return True
+    from mask3d_tpu.utils import probe
+
+    def _build():
+        import numpy as np
+
+        s = 2 * tile
+        q = np.zeros((1, 8, d_model), np.float32)
+        k = np.zeros((1, s, d_model), np.float32)
+        v = np.zeros((1, s, d_model), np.float32)
+        m = np.zeros((1, 8, s), bool)
+        jax.jit(
+            lambda a, b, c, mm: masked_cross_attention(
+                a, b, c, mm, num_heads, tile, False
+            )
+        ).lower(q, k, v, m).compile()
+
+    return probe.compiles(
+        f"mca:d={d_model}:h={num_heads}:tile={tile}", _build
+    )

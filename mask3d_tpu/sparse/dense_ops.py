@@ -25,6 +25,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mask3d_tpu.sparse.core import SparseLevel
 from mask3d_tpu.sparse import pallas_gather
@@ -166,7 +167,8 @@ def dense_conv_same(x, weight, occ, bias=None, compute_dtype=None):
     return out * occ.astype(out.dtype)
 
 
-def dense_conv_same_int8(x, weight, occ, bias=None, out_dtype=jnp.bfloat16):
+def dense_conv_same_int8(x, weight, occ, bias=None, out_dtype=jnp.bfloat16,
+                         act_bound=None):
     """Dynamically-quantized int8 submanifold conv (inference fast path).
 
     v5e int8 MXU sustains ~1.5x the bf16 matmul rate (tools/bench_int8.py:
@@ -182,13 +184,22 @@ def dense_conv_same_int8(x, weight, occ, bias=None, out_dtype=jnp.bfloat16):
     (never materializing the i32 grid — the round-2 OOM came from emitting
     s32 as the conv result). Submanifold zeros quantize to 0, so the
     occupancy re-mask semantics are unchanged.
+
+    `act_bound` (f32[Cin], optional): a STATIC per-channel bound on |x|
+    derived from the producing InstanceNorm's affine params
+    (`model.int8_act_sigma` — see backbone.py). Skips the absmax reduce
+    pass entirely; values beyond the bound saturate at +-127 (the clip
+    below). k=1 weights make this the int8 1x1 (downsample) conv.
     """
     k = round(weight.shape[0] ** (1.0 / 3.0))
     assert k**3 == weight.shape[0], weight.shape
     cin, cout = weight.shape[1], weight.shape[2]
     w = weight.reshape(k, k, k, cin, cout).astype(jnp.float32)
 
-    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2, 3))  # [Cin]
+    if act_bound is None:
+        ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2, 3))
+    else:
+        ax = act_bound.astype(jnp.float32)  # [Cin]
     sx = jnp.maximum(ax, 1e-8) * (1.0 / 127.0)
     xq = jnp.clip(
         jnp.round(x.astype(jnp.float32) * (1.0 / sx)), -127.0, 127.0
@@ -209,8 +220,8 @@ def dense_conv_same_int8(x, weight, occ, bias=None, out_dtype=jnp.bfloat16):
     return (out * occ.astype(out.dtype)).astype(out_dtype)
 
 
-def dense_conv_same_zfold(x, weight, occ, bias=None, compute_dtype=None):
-    """`dense_conv_same` with the z axis folded into the feature dims.
+def _zfold_conv(x, weight, compute_dtype=None):
+    """k^3 conv as a banded 2D conv with z folded into the feature dims.
 
     For tiny contraction dims (k^3 * Cin, e.g. the 5^3 stem conv on the
     1-channel all-ones input) the direct 3D convolution starves the MXU —
@@ -218,11 +229,11 @@ def dense_conv_same_zfold(x, weight, occ, bias=None, compute_dtype=None):
     the per-(x, y) contraction (k^2 * Z * Cin) x (Z * Cout) — MXU-shaped —
     at the cost of the banded weight's zeros. The banded 2D weight
     w2d[dx, dy, z_in*Cin+ci, z_out*Cout+co] = w[dx, dy, z_in-z_out+r, ci, co]
-    (zero outside the band) makes this numerically identical to
-    `dense_conv_same` (oracle-tested in tests/test_dense_ops.py).
-    """
-    import numpy as np
+    (zero outside the band) makes this numerically identical to the 3D
+    conv (oracle-tested in tests/test_dense_ops.py).
 
+    Returns the FOLDED output [B, Gx, Gy, Gz*Cout] (index = z*Cout + c).
+    """
     b, gx, gy, gz, cin = x.shape
     k = round(weight.shape[0] ** (1.0 / 3.0))
     assert k**3 == weight.shape[0], weight.shape
@@ -233,20 +244,68 @@ def dense_conv_same_zfold(x, weight, occ, bias=None, compute_dtype=None):
         w = w.astype(compute_dtype)
     r = k // 2
     # E[dz, z_in, z_out] = 1 iff z_in == z_out + dz - r (static 0/1 bands).
-    band = np.stack(
-        [np.eye(gz, gz, k=-(dz - r)) for dz in range(k)]
-    )
+    band = np.stack([np.eye(gz, gz, k=-(dz - r)) for dz in range(k)])
     w2d = jnp.einsum(
         "dzo,xydcf->xyzcof", jnp.asarray(band, w.dtype), w
     ).reshape(k, k, gz * cin, gz * cout)
-    out = jax.lax.conv_general_dilated(
+    return jax.lax.conv_general_dilated(
         x.reshape(b, gx, gy, gz * cin), w2d, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,
-    ).reshape(b, gx, gy, gz, cout)
+    )
+
+
+def dense_conv_same_zfold(x, weight, occ, bias=None, compute_dtype=None):
+    """`dense_conv_same` computed via `_zfold_conv` (numerically identical,
+    oracle-tested in tests/test_dense_ops.py)."""
+    b, gx, gy, gz, _ = x.shape
+    cout = weight.shape[-1]
+    out = _zfold_conv(x, weight, compute_dtype).reshape(b, gx, gy, gz, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out * occ.astype(out.dtype)
+
+
+def dense_stem_fused(x, weight, occ, gamma, beta, bias=None,
+                     compute_dtype=None, eps=1e-5):
+    """Fused stem: zfold conv + InstanceNorm + ReLU in the FOLDED layout.
+
+    Numerically identical to
+    `relu(dense_instance_norm(dense_conv_same_zfold(x, w, occ, bias), occ,
+    gamma, beta))` (oracle-tested in tests/test_dense_ops.py), but the norm
+    stats and affine+relu run on the conv's native [B, Gx, Gy, Gz*C] folded
+    tensor: the 32-channel 5D form pads to 128 lanes (4x wasted HBM per
+    pass) and forces relayout copies around the elementwise chain; the
+    folded chain does one transpose-fusion write at the end.
+    """
+    b, gx, gy, gz, _ = x.shape
+    cout = weight.shape[-1]
+    yf = _zfold_conv(x, weight, compute_dtype)
+    # [B, Gx, Gy, Gz*Cout], z-major folding (index = z*Cout + c)
+    if bias is not None:
+        yf = yf + jnp.tile(bias, gz).astype(yf.dtype)
+    occf = occ.reshape(b, gx, gy, gz).astype(jnp.float32)
+    # z-major repeat of the occupancy into the folded lanes.
+    occr = jnp.repeat(occf, cout, axis=-1, total_repeat_length=gz * cout)
+    # Masked IN stats per (item, channel): fold-aware — sum over (x, y)
+    # keeps the folded lanes, then the tiny [B, Gz*C] -> [B, C] z-reduce.
+    ym = yf.astype(jnp.float32) * occr
+    s1 = jnp.sum(ym, axis=(1, 2)).reshape(b, gz, cout).sum(axis=1)
+    s2 = jnp.sum(ym * ym, axis=(1, 2)).reshape(b, gz, cout).sum(axis=1)
+    cnt = jnp.maximum(jnp.sum(occf, axis=(1, 2, 3)), 1.0)[:, None]  # [B,1]
+    mean = s1 / cnt
+    var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+    rs = jax.lax.rsqrt(var + eps)
+    kk = (rs * gamma).astype(yf.dtype)  # [B, C]
+    tt = (beta - mean * rs * gamma).astype(yf.dtype)  # [B, C]
+    # Affine + occupancy re-mask + relu, still folded: out = relu(
+    # (y*occ)*k + occ*t) with k/t tiled over z (z-major). The reshape to
+    # 5D at the end is the single transpose-fusion write.
+    kf = jnp.tile(kk, (1, gz))[:, None, None, :]  # [B, 1, 1, Gz*C]
+    tf = jnp.tile(tt, (1, gz))[:, None, None, :]
+    occy = occr.astype(yf.dtype)
+    out = jnp.maximum(yf * occy * kf + occy * tf, 0)
+    return out.reshape(b, gx, gy, gz, cout)
 
 
 def dense_conv_down(x, weight, occ_coarse, bias=None, compute_dtype=None):

@@ -374,3 +374,43 @@ sparse_conv_pallas.defvjp(_fwd, _bwd)
 def supports(n_rows: int, tile: int = 256, window: int = 1024) -> bool:
     """Static eligibility of the Pallas path for a level of capacity N."""
     return n_rows % tile == 0 and n_rows >= window
+
+
+def resolve_select(select: str) -> str:
+    """Downgrade `select="gather"` to `"onehot"` when the dynamic-gather
+    kernel variant does not compile on this backend build.
+
+    `tpu.dynamic_gather` availability/constraints vary across remote
+    libtpu rotations (docs/ARCHITECTURE.md: the variant compiled locally
+    but 500'd remotely on 2026-08-18); a config flag must not be able to
+    hard-crash the forward. One-time probe at a tiny representative shape
+    (tile 256, window 256, 128 channels — the lane/sublane regime the
+    Mosaic lowering depends on); non-TPU backends run the interpreter and
+    need no probe.
+    """
+    if select != "gather":
+        return select
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        return select
+    from mask3d_tpu.utils import probe
+
+    def _build():
+        import numpy as np
+
+        n, k, c = 256, 27, 128
+        feats = np.zeros((1, n, c), np.float32)
+        w = np.zeros((k, c, c), np.float32)
+        idx = np.zeros((1, n, k), np.int32)
+        ok = np.ones((1, n, k), bool)
+        _jax.jit(
+            lambda f, ww, i, o: sparse_conv_pallas(
+                f, ww, i, o, tile=256, window=256, select="gather"
+            )
+        ).lower(feats, w, idx, ok).compile()
+
+    return (
+        "gather" if probe.compiles("pallas_conv:gather", _build)
+        else "onehot"
+    )

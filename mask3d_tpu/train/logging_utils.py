@@ -22,9 +22,16 @@ logger = logging.getLogger(__name__)
 
 class MetricLogger:
     def __init__(self, directory: str, use_tensorboard: bool = True,
-                 hyperparams: Optional[dict] = None):
+                 hyperparams: Optional[dict] = None,
+                 write_files: bool = True):
+        """`write_files=False` (non-main processes of a multi-host run)
+        keeps the in-memory aggregation — log_epoch still returns the
+        epoch means every host needs — but writes no CSV/TensorBoard."""
         self.directory = directory
-        os.makedirs(directory, exist_ok=True)
+        self.write_files = write_files
+        if write_files:
+            os.makedirs(directory, exist_ok=True)
+        use_tensorboard = use_tensorboard and write_files
         self.csv_path = os.path.join(directory, "metrics.csv")
         self._csv_fields = ["epoch", "step"]
         self._csv_rows = []
@@ -32,7 +39,7 @@ class MetricLogger:
         # resumed process must seed from the existing file or the prior
         # history is lost on its first flush (the reference's CSVLogger
         # keeps history across resumes via version dirs, mask3d/README.md:19).
-        if os.path.exists(self.csv_path):
+        if write_files and os.path.exists(self.csv_path):
             try:
                 with open(self.csv_path, newline="") as f:
                     r = csv.DictReader(f)
@@ -81,6 +88,14 @@ class MetricLogger:
         for k in means:
             if k not in self._csv_fields:
                 self._csv_fields.append(k)
+        # Dedup by epoch, keeping the latest row: with
+        # save_last_every_n_epochs>1 a crash-resume replays up to N-1
+        # epochs whose rows were already seeded from the existing file —
+        # the replayed row supersedes the stale one (same epoch, earlier
+        # history truncated by the checkpoint).
+        self._csv_rows = [
+            r for r in self._csv_rows if int(r.get("epoch", -1)) != epoch
+        ]
         self._csv_rows.append(row)
         self._write_csv()
         if self._tb is not None:
@@ -90,10 +105,15 @@ class MetricLogger:
         return means
 
     def _write_csv(self):
+        if not self.write_files:
+            return
         with open(self.csv_path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._csv_fields)
             w.writeheader()
-            for row in self._csv_rows:
+            # Seeded history + replayed epochs stay chronologically ordered
+            # whatever order the dedup left them in.
+            for row in sorted(self._csv_rows,
+                              key=lambda r: int(r.get("epoch", -1))):
                 w.writerow(row)
 
     def close(self):

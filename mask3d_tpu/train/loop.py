@@ -16,6 +16,8 @@ from __future__ import annotations
 import functools
 from typing import Any, Dict, Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -65,6 +67,7 @@ def make_model(cfg: Config) -> Mask3D:
         backbone_name=cfg.model.backbone,
         backbone_impl=cfg.model.backbone_impl,
         pallas_conv_select=cfg.model.pallas_conv_select,
+        pallas_window_mode=cfg.model.pallas_window_mode,
         in_channels=cfg.data.in_channels,
         conv1_kernel_size=cfg.model.conv1_kernel_size,
         compute_dtype=dt,
@@ -73,6 +76,7 @@ def make_model(cfg: Config) -> Mask3D:
         attention_chunk=cfg.model.attention_chunk,
         attention_pallas_tile=cfg.model.attention_pallas_tile,
         int8_stride1=cfg.model.int8_stride1,
+        int8_act_sigma=cfg.model.int8_act_sigma,
         unit_features=cfg.model.unit_features,
     )
 
@@ -104,7 +108,23 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
             transition_steps=steps,
             peak_value=cfg.scheduler.max_lr or cfg.optimizer.lr,
         )
-    else:  # steplr with huge step size == constant (conf/scheduler/steplr)
+    elif cfg.scheduler.name in ("steplr", "lambdalr"):
+        # Both reference groups wrap torch StepLR (lambdalr.yaml despite
+        # its filename: `mask3d/conf/scheduler/lambdalr.yaml` — StepLR at
+        # step_size 99999, interval=epoch, i.e. constant for any practical
+        # run; steplr.yaml identically). step_size counts SCHEDULER ticks:
+        # epochs here (interval=epoch), so the per-step schedule needs
+        # steps_per_epoch to convert (constant when unset, matching the
+        # shipped 99999 configs).
+        spe = max(cfg.scheduler.steps_per_epoch, 1)
+        boundary = cfg.scheduler.step_size * spe
+        schedule = optax.exponential_decay(
+            init_value=cfg.optimizer.lr,
+            transition_steps=boundary,
+            decay_rate=cfg.scheduler.gamma,
+            staircase=True,
+        )
+    else:  # unknown name: constant lr
         schedule = cfg.optimizer.lr
     if cfg.optimizer.name == "adamw":
         tx = optax.adamw(schedule, weight_decay=cfg.optimizer.weight_decay)
@@ -153,6 +173,22 @@ def level_capacities(cfg: Config, n_points: int):
 
 def init_state(cfg: Config, example: DeviceBatch, seed: Optional[int] = None
                ) -> Tuple[TrainState, Mask3D, SetCriterion, Any]:
+    if cfg.model.unit_features:
+        # unit_features promises the input features are constant ones (the
+        # dense stem then reads the occupancy grid instead of scattering
+        # rows — backbone.py). A non-constant feature column (e.g. an
+        # intensity scalar) would be SILENTLY discarded; fail loudly here
+        # instead (cheap host-side check on the example batch).
+        f = np.asarray(example.feats)
+        valid = (
+            np.arange(f.shape[1])[None, :]
+            < np.asarray(example.counts)[:, None]
+        )
+        assert cfg.data.in_channels == 1 and np.all(f[valid] == 1.0), (
+            "model.unit_features=true but the example batch carries "
+            "non-constant features — the dense stem would discard them; "
+            "unset unit_features for real feature channels."
+        )
     model = make_model(cfg)
     criterion = make_criterion(cfg)
     tx = make_optimizer(cfg)

@@ -78,18 +78,25 @@ class InstanceSegmentationTrainer:
         self.cfg = cfg
         if cfg.trainer.debug_nans:
             jax.config.update("jax_debug_nans", True)
+        # Multi-host: this process's identity for input sharding and the
+        # process-0 writer guard (checkpoints, metrics, config snapshot).
+        # No-op (True) at process_count()==1.
+        from mask3d_tpu.parallel import dist as _dist
+
+        self.is_main = _dist.is_main_process()
         self.run_dir = os.path.join(
             cfg.general.save_dir,
             cfg.general.experiment_name,
             cfg.general.experiment_id or time.strftime("%Y-%m-%d_%H-%M-%S"),
         )
-        os.makedirs(self.run_dir, exist_ok=True)
-        # Persist the composed config so runs reproduce from their
-        # artifacts alone (reference: Hydra snapshot under
-        # saved/<exp>/<id>/hydra/, main_instance_segmentation.py:76-84).
-        from mask3d_tpu.config import to_yaml
+        if self.is_main:
+            os.makedirs(self.run_dir, exist_ok=True)
+            # Persist the composed config so runs reproduce from their
+            # artifacts alone (reference: Hydra snapshot under
+            # saved/<exp>/<id>/hydra/, main_instance_segmentation.py:76-84).
+            from mask3d_tpu.config import to_yaml
 
-        to_yaml(cfg, os.path.join(self.run_dir, "config.yaml"))
+            to_yaml(cfg, os.path.join(self.run_dir, "config.yaml"))
 
         # --- datasets (reference prepare_data, trainer.py:578-582) ---
         if datasets is not None:
@@ -140,7 +147,8 @@ class InstanceSegmentationTrainer:
         )
         self.eval_step = make_eval_step(cfg, self.model, self.criterion)
 
-        # data-parallel mesh
+        # data-parallel mesh (after jax.distributed.initialize this spans
+        # all hosts: jax.devices() is the global list)
         self.mesh = None
         if cfg.trainer.num_data_parallel > 1:
             from mask3d_tpu.parallel import make_mesh, replicate
@@ -154,7 +162,8 @@ class InstanceSegmentationTrainer:
         )
         self.ckpt_mgr = ckpt.CheckpointManager(self.run_dir)
         self.metrics = MetricLogger(
-            self.run_dir, hyperparams=flatten_dict(to_dict(cfg))
+            self.run_dir, hyperparams=flatten_dict(to_dict(cfg)),
+            write_files=self.is_main,
         )
         self.epoch = 0
         self._rng = np.random.default_rng(cfg.general.seed)
@@ -176,20 +185,31 @@ class InstanceSegmentationTrainer:
     # ------------------------------------------------------------------ #
 
     def _batches(self, split: str, batch_size: int, shuffle: bool):
+        """Epoch batches. Multi-host: every process draws the SAME global
+        permutation (the rng is config-seeded identically everywhere) and
+        collates only its own contiguous slice of each global batch
+        (parallel/dist.py::local_batch_indices — the union over hosts is
+        exactly the global order, no duplication; arithmetic unit-tested
+        in tests/test_distributed.py)."""
+        from mask3d_tpu.parallel import dist
+
         ds = self.datasets[split]
         order = np.arange(len(ds))
         if shuffle:
             self._rng.shuffle(order)
+        pc = dist.process_count()
         for rep in range(self.cfg.general.reps_per_epoch if shuffle else 1):
             for s in range(0, len(order), batch_size):
                 idxs = order[s:s + batch_size]
+                if pc > 1 and shuffle and len(idxs) % pc == 0:
+                    idxs = dist.local_batch_indices(idxs)
                 yield self.collate([ds[int(i)] for i in idxs])
 
     def _to_device(self, host: HostBatch):
         if self.mesh is not None:
-            from mask3d_tpu.parallel import shard_batch
+            from mask3d_tpu.parallel import dist
 
-            return shard_batch(host.device, self.mesh)
+            return dist.put_global(host.device, self.mesh)
         return jax.device_put(host.device)
 
     # ------------------------------------------------------------------ #
@@ -425,6 +445,35 @@ class InstanceSegmentationTrainer:
             self.state, meta = ckpt.load_checkpoint(resume, self.state)
             self.epoch = int(meta.get("epoch", 0)) + 1
 
+        # With save_last_every_n_epochs>1 an interrupted run would lose up
+        # to N-1 epochs of optimizer/RNG progress (ADVICE r3): catch
+        # SIGTERM/KeyboardInterrupt and write last-epoch.ckpt before
+        # exiting, so auto-resume replays at most the interrupted epoch.
+        import signal
+
+        def _sigterm(_signum, _frame):
+            raise KeyboardInterrupt
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _sigterm)
+        except ValueError:  # not the main thread (tests)
+            prev_handler = None
+        try:
+            self._fit_loop()
+        except KeyboardInterrupt:
+            if self.is_main and self.epoch > 0:
+                logger.warning(
+                    "interrupted — saving last-epoch.ckpt at epoch %d",
+                    self.epoch - 1,
+                )
+                self.ckpt_mgr.save_last(self.state, self.epoch - 1, {})
+            raise
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _fit_loop(self):
+        cfg = self.cfg
         while self.epoch < cfg.trainer.max_epochs:
             t0 = time.time()
             train_metrics = self.train_epoch()
@@ -438,12 +487,15 @@ class InstanceSegmentationTrainer:
                 self.metrics.log_epoch(
                     self.epoch, int(self.state.step), extra=val_metrics
                 )
-            if (
+            if self.is_main and (
                 (self.epoch + 1) % cfg.trainer.save_last_every_n_epochs == 0
                 or self.epoch + 1 == cfg.trainer.max_epochs
             ):
                 self.ckpt_mgr.save_last(self.state, self.epoch, val_metrics)
-            self.ckpt_mgr.maybe_save_best(self.state, self.epoch, val_metrics)
+            if self.is_main:
+                self.ckpt_mgr.maybe_save_best(
+                    self.state, self.epoch, val_metrics
+                )
             logger.info(
                 f"epoch {self.epoch}: "
                 f"train_loss={train_metrics.get('train_loss', float('nan')):.4f} "

@@ -297,6 +297,74 @@ def test_dense_conv_same_zfold_matches_direct(rng):
         )
 
 
+def test_dense_stem_fused_matches_unfused(rng):
+    """Fused stem (zfold conv + InstanceNorm + ReLU in the folded layout)
+    is numerically identical to the unfused chain."""
+    level, _ = make_level(rng)
+    occ = dense_ops.occupancy(level, GRID)
+    for cin, cout, bias in ((1, 8, False), (3, 6, True)):
+        w = rng.normal(size=(125, cin, cout)).astype(np.float32)
+        b = rng.normal(size=(cout,)).astype(np.float32) if bias else None
+        gamma = rng.normal(size=(cout,)).astype(np.float32)
+        beta = rng.normal(size=(cout,)).astype(np.float32)
+        feats = rng.normal(size=(2, level.capacity, cin)).astype(np.float32)
+        feats[~np.asarray(level.valid)] = 0
+        dense = dense_ops.scatter_rows(jnp.asarray(feats), level, GRID)
+        ref = dense_ops.dense_conv_same_zfold(dense, jnp.asarray(w), occ,
+                                              bias=b)
+        ref = jnp.maximum(dense_ops.dense_instance_norm(
+            ref, occ, jnp.asarray(gamma), jnp.asarray(beta)), 0)
+        got = dense_ops.dense_stem_fused(
+            dense, jnp.asarray(w), occ, jnp.asarray(gamma),
+            jnp.asarray(beta), bias=b,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5
+        )
+        # submanifold invariant: unoccupied cells exactly zero
+        unocc = np.asarray(occ)[..., 0] == 0
+        assert np.all(np.asarray(got)[unocc] == 0)
+
+
+def test_dense_conv_same_int8_static_bound(rng):
+    """`act_bound` static scales: (a) a bound equal to the true absmax
+    reproduces the dynamic-scale result exactly; (b) a looser bound stays
+    within the dynamic path's error envelope; (c) values beyond the bound
+    SATURATE (clip) rather than wrap."""
+    level, _ = make_level(rng)
+    cin, cout = 8, 6
+    feats = rng.normal(size=(2, level.capacity, cin)).astype(np.float32)
+    feats *= (10.0 ** rng.uniform(-1, 1, size=cin)).astype(np.float32)
+    feats[~np.asarray(level.valid)] = 0
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32)
+    dense = dense_ops.scatter_rows(jnp.asarray(feats), level, GRID)
+    occ = dense_ops.occupancy(level, GRID)
+    ref_fp32 = np.asarray(dense_ops.dense_conv_same(dense, jnp.asarray(w),
+                                                    occ))
+    dyn = np.asarray(dense_ops.dense_conv_same_int8(
+        dense, jnp.asarray(w), occ, out_dtype=jnp.float32))
+    absmax = jnp.max(jnp.abs(dense), axis=(0, 1, 2, 3))
+    exact = np.asarray(dense_ops.dense_conv_same_int8(
+        dense, jnp.asarray(w), occ, out_dtype=jnp.float32,
+        act_bound=absmax))
+    np.testing.assert_array_equal(exact, dyn)
+    scale = np.abs(ref_fp32).max()
+    loose = np.asarray(dense_ops.dense_conv_same_int8(
+        dense, jnp.asarray(w), occ, out_dtype=jnp.float32,
+        act_bound=absmax * 1.5))
+    assert np.abs(loose - ref_fp32).max() < 0.03 * scale
+    # (c) a bound BELOW the true absmax saturates: output stays finite and
+    # within the error of clipping x to the bound (no wraparound garbage).
+    tight = np.asarray(dense_ops.dense_conv_same_int8(
+        dense, jnp.asarray(w), occ, out_dtype=jnp.float32,
+        act_bound=absmax * 0.5))
+    clipped = jnp.clip(dense, -absmax * 0.5, absmax * 0.5)
+    ref_clip = np.asarray(dense_ops.dense_conv_same(
+        clipped, jnp.asarray(w), occ))
+    assert np.isfinite(tight).all()
+    assert np.abs(tight - ref_clip).max() < 0.03 * np.abs(ref_clip).max()
+
+
 def test_backbone_dense_matches_gather_odd_chain(rng):
     """8-multiple grid buckets give ceil-div level chains with ODD coarse
     dims (24 -> 12 -> 6 -> 3 -> 2). The padded dense pool/stride-2 ops must

@@ -131,29 +131,73 @@ def test_train_step_data_parallel(batch):
     )
 
 
-def _eval_metrics_for_variants(batch, variants):
-    """Train a small model, then eval it under each config-override dict
-    in `variants` and return {name: evaluator metrics} (the acceptance
-    oracle for numeric-format fast paths)."""
-    cfg = small_config()
-    state, model, criterion, tx = init_state(cfg, batch.device)
-    train_step = make_train_step(cfg, model, criterion, tx)
-    for _ in range(50):
-        state, _l, _p = train_step(state, batch.device)
+# ---------------------------------------------------------------------------
+# Numeric-format parity gates (bf16 / int8 fast paths vs fp32).
+#
+# These AUTHORIZE the bench's flagship overrides (bench.py), so they are held
+# to the BASELINE bar: >= 16 distinct scenes, evaluator-mAP tolerance <= 0.01
+# absolute, plus a logits-level error bound per fast path (VERDICT r3 item 2
+# replaced the old 2-scene 0.15-tolerance gates).
+# ---------------------------------------------------------------------------
 
-    counts = np.asarray(batch.device.counts)
-    results = {}
-    for name, overrides in variants.items():
-        cfg2 = small_config()
-        for k, v in overrides.items():
-            setattr(cfg2.model, k, v)
-        _, model2, criterion2, _ = init_state(cfg2, batch.device)
-        eval_step = make_eval_step(cfg2, model2, criterion2)
+N_PARITY_SCENES = 16
+_PARITY_BS = 2  # scenes per batch (8 batches of 2)
+
+
+@pytest.fixture(scope="module")
+def parity16():
+    """16 distinct scenes in ONE shared bucket shape + a model trained on
+    all of them (confident predictions make the mAP comparison sharp: a
+    barely-converged model has borderline masks whose matches flip under
+    any numeric perturbation, which would test noise, not the fast path).
+    Returns (state, batches)."""
+    rng = np.random.default_rng(11)
+    scenes = [
+        make_synthetic_scene(rng, num_rooms_x=2, num_rooms_y=1,
+                             room_size=12, height=6, jitter=0.0, dropout=0.5)
+        for _ in range(N_PARITY_SCENES)
+    ]
+    # Two-pass collation: discover the max point capacity and grid dims,
+    # then re-collate every batch into that single bucket (one executable
+    # per variant; shape-identical logits across variants).
+    probe = VoxelizeCollate(point_bucket_multiple=64)
+    probed = [probe(scenes[i:i + _PARITY_BS])
+              for i in range(0, N_PARITY_SCENES, _PARITY_BS)]
+    cap = max(int(b.device.coords.shape[1]) for b in probed)
+    dims0 = tuple(max(b.device.grid_dims[0][a] for b in probed)
+                  for a in range(3))
+    coll = VoxelizeCollate(point_bucket_multiple=cap, min_grid_dims=dims0)
+    batches = [coll(scenes[i:i + _PARITY_BS])
+               for i in range(0, N_PARITY_SCENES, _PARITY_BS)]
+    assert len({b.device.coords.shape for b in batches}) == 1
+    assert len({b.device.grid_dims for b in batches}) == 1
+
+    cfg = small_config()
+    state, model, criterion, tx = init_state(cfg, batches[0].device)
+    train_step = make_train_step(cfg, model, criterion, tx)
+    for _epoch in range(14):
+        for b in batches:
+            state, losses, _p = train_step(state, b.device)
+    assert np.isfinite(float(losses["loss"]))
+    return state, batches
+
+
+def _variant_eval(state, batches, overrides):
+    """Eval the trained state under a model-config override dict; returns
+    (evaluator metrics over all 16 scenes, raw pred_masks logits)."""
+    cfg2 = small_config()
+    for k, v in overrides.items():
+        setattr(cfg2.model, k, v)
+    _, model2, criterion2, _ = init_state(cfg2, batches[0].device)
+    eval_step = make_eval_step(cfg2, model2, criterion2)
+    preds, targets, logits = [], [], []
+    for batch in batches:
         pred_class, pred_masks, _ = eval_step(state, batch.device)
         pred_class = np.asarray(pred_class)
         pred_masks = np.asarray(pred_masks)
-        preds, targets = [], []
-        for b in range(2):
+        logits.append(pred_masks.astype(np.float32))
+        counts = np.asarray(batch.device.counts)
+        for b in range(_PARITY_BS):
             n = counts[b]
             preds.append(
                 postprocess_item(
@@ -167,22 +211,48 @@ def _eval_metrics_for_variants(batch, variants):
                 "labels": np.asarray(batch.device.target.labels[b])[tv],
                 "masks": np.asarray(batch.device.target.masks[b])[tv][:, :n],
             })
-        results[name] = Mask3DEvaluator().evaluate(preds, targets, "val")
-    return results
+    metrics = Mask3DEvaluator().evaluate(preds, targets, "val")
+    return metrics, np.concatenate(logits, axis=0)
 
 
-def test_int8_eval_metrics_match_fp32(batch):
-    """`model.int8_stride1` (int8 level-0 stride-1 convs, the flagship
-    bench fast path) must not move the evaluator metrics — the acceptance
-    gate demanded by VERDICT r2 item 2."""
-    results = _eval_metrics_for_variants(batch, {
-        "fp32": {},
-        "int8": {"int8_stride1": True, "compute_dtype": "bfloat16"},
-    })
-    for key in ("val_mean_ap", "val_mean_ap_50", "val_mean_ap_25"):
-        assert abs(results["fp32"][key] - results["int8"][key]) < 0.15, (
-            key, results["fp32"][key], results["int8"][key]
+_MAP_KEYS = ("val_mean_ap", "val_mean_ap_50", "val_mean_ap_25")
+MAP_TOL = 0.01  # BASELINE.md bar: mAP@50 within 0.005; gate at 0.01 abs
+
+
+def _assert_parity(ref, got, name, logit_tol):
+    """mAP within MAP_TOL on all three IoU regimes + a logits-level bound
+    (max |delta| over every (scene, point, query) mask logit, normalized
+    by the fp32 logits' std)."""
+    ref_m, ref_l = ref
+    got_m, got_l = got
+    for key in _MAP_KEYS:
+        assert abs(ref_m[key] - got_m[key]) <= MAP_TOL, (
+            name, key, ref_m[key], got_m[key]
         )
+    scale = max(float(np.std(ref_l)), 1e-6)
+    rel = float(np.abs(got_l - ref_l).max()) / scale
+    assert rel <= logit_tol, (name, rel, scale)
+
+
+def test_int8_eval_metrics_match_fp32(parity16):
+    """`model.int8_stride1` (int8 stride-1/1x1 convs at >=96 ch, the
+    flagship bench fast path) — both the dynamic-absmax scheme and the
+    static IN-derived activation scales (`int8_act_sigma`) — must hold the
+    evaluator metrics to <= 0.01 mAP over 16 scenes and keep mask logits
+    within a few percent of the fp32 logit scale."""
+    state, batches = parity16
+    ref = _variant_eval(state, batches, {})
+    # Tolerances from tools/calib_int8_logits.py (2026-08-19, max |delta|
+    # / fp32-std over 16 scenes): bf16 0.028, int8-dynamic 0.046,
+    # int8-sigma10 0.088 (sigma 10 picked there: clipping tail gone by
+    # sigma 8-10, quantization-step error grows slowly after).
+    int8 = _variant_eval(state, batches, {
+        "int8_stride1": True, "compute_dtype": "bfloat16"})
+    _assert_parity(ref, int8, "int8-dynamic", logit_tol=0.15)
+    int8s = _variant_eval(state, batches, {
+        "int8_stride1": True, "compute_dtype": "bfloat16",
+        "int8_act_sigma": 10.0})
+    _assert_parity(ref, int8s, "int8-static10", logit_tol=0.25)
 
 
 def test_unit_features_forward_identical(batch):
@@ -202,48 +272,26 @@ def test_unit_features_forward_identical(batch):
     np.testing.assert_array_equal(outs["scatter"][1], outs["occ"][1])
 
 
-def test_bf16_eval_metrics_match_fp32(batch):
-    """The bench runs inference with `model.compute_dtype=bfloat16` on
-    fp32-trained weights; the evaluator (acceptance oracle) must agree with
-    the fp32 eval within noise."""
+def test_unit_features_guard_rejects_real_features(batch):
+    """`model.unit_features` is a promise, not a hint: real (non-ones)
+    feature values must fail loudly instead of being silently replaced by
+    the occupancy grid (ADVICE r3)."""
     cfg = small_config()
-    state, model, criterion, tx = init_state(cfg, batch.device)
-    train_step = make_train_step(cfg, model, criterion, tx)
-    for _ in range(50):
-        state, _l, _p = train_step(state, batch.device)
+    cfg.model.unit_features = True
+    bad = batch.device.replace(feats=np.asarray(batch.device.feats) * 2.0)
+    with pytest.raises(AssertionError, match="unit_features"):
+        init_state(cfg, bad)
 
-    counts = np.asarray(batch.device.counts)
-    results = {}
-    for dt in ("fp32", "bfloat16"):
-        cfg2 = small_config()
-        cfg2.model.compute_dtype = None if dt == "fp32" else "bfloat16"
-        _, model2, criterion2, _ = init_state(cfg2, batch.device)
-        eval_step = make_eval_step(cfg2, model2, criterion2)
-        pred_class, pred_masks, _ = eval_step(state, batch.device)
-        pred_class = np.asarray(pred_class)
-        pred_masks = np.asarray(pred_masks)
-        preds, targets = [], []
-        for b in range(2):
-            n = counts[b]
-            preds.append(
-                postprocess_item(
-                    pred_class[b], pred_masks[b, :n],
-                    np.asarray(batch.device.coords[b, :n], np.float32),
-                    batch.scenes[b], use_dbscan=False, scores_threshold=0.1,
-                )
-            )
-            tv = np.asarray(batch.device.target.valid[b])
-            targets.append({
-                "labels": np.asarray(batch.device.target.labels[b])[tv],
-                "masks": np.asarray(batch.device.target.masks[b])[tv][:, :n],
-            })
-        results[dt] = Mask3DEvaluator().evaluate(preds, targets, "val")
 
-    for key in ("val_mean_ap", "val_mean_ap_50", "val_mean_ap_25"):
-        assert abs(results["fp32"][key] - results["bfloat16"][key]) < 0.15, (
-            key, results["fp32"][key], results["bfloat16"][key]
-        )
-    assert results["bfloat16"]["val_mean_ap_25"] > 0.0
+def test_bf16_eval_metrics_match_fp32(parity16):
+    """The bench runs inference with `model.compute_dtype=bfloat16` on
+    fp32-trained weights; the evaluator (acceptance oracle) must agree
+    with the fp32 eval to <= 0.01 mAP over 16 scenes."""
+    state, batches = parity16
+    ref = _variant_eval(state, batches, {})
+    bf16 = _variant_eval(state, batches, {"compute_dtype": "bfloat16"})
+    _assert_parity(ref, bf16, "bf16", logit_tol=0.1)
+    assert bf16[0]["val_mean_ap_25"] > 0.0
 
 
 def test_collate_min_grid_dims_pins_shape():

@@ -117,12 +117,19 @@ def main():
     )
 
     results = {}
-    for impl in ("gather_pallas", "gather"):
+    variants = (
+        ("gather_pallas", "per_offset"),
+        ("gather_pallas+grouped_dx", "grouped_dx"),
+        ("gather", "per_offset"),
+    )
+    for name, window_mode in variants:
+        impl = name.split("+")[0]
         cfg = Config()
         apply_overrides(cfg, [
             "data.point_bucket_multiple=65536",
             "model.compute_dtype=bfloat16",
             f"model.backbone_impl={impl}",
+            f"model.pallas_window_mode={window_mode}",
         ])
         state, model, _, _ = init_state(cfg, batch)
 
@@ -148,7 +155,7 @@ def main():
         )
         t0 = time.perf_counter()
         _ = jax.device_get(infer(*args)[0])  # compile + warm
-        print(f"{impl}: compile+first {time.perf_counter()-t0:.1f}s",
+        print(f"{name}: compile+first {time.perf_counter()-t0:.1f}s",
               flush=True)
         # Amortized honest timing: N dispatches, one device_get fence
         # (per-call timings carry +/-100 ms of tunnel RPC noise, CLAUDE.md).
@@ -158,16 +165,18 @@ def main():
         _ = jax.device_get(outs[-1][0])
         dt = (time.perf_counter() - t0) / reps
         pps = n_rows / dt
-        results[impl] = (dt, pps)
-        print(f"{impl}: {dt*1e3:.0f} ms/forward = {pps/1e6:.3f}M pts/s",
+        results[name] = (dt, pps)
+        print(f"{name}: {dt*1e3:.0f} ms/forward = {pps/1e6:.3f}M pts/s",
               flush=True)
 
     dt_p, pps_p = results["gather_pallas"]
+    dt_g, pps_g = results["gather_pallas+grouped_dx"]
     dt_x, pps_x = results["gather"]
     print(
         f"RESULT large-scene ({n_rows} pts, {cells/1e6:.1f}M cells): "
-        f"gather_pallas {pps_p/1e6:.3f}M pts/s vs XLA gather "
-        f"{pps_x/1e6:.3f}M pts/s ({dt_x/dt_p:.2f}x)",
+        f"gather_pallas {pps_p/1e6:.3f}M (grouped_dx {pps_g/1e6:.3f}M) "
+        f"vs XLA gather {pps_x/1e6:.3f}M pts/s "
+        f"({dt_x/dt_p:.2f}x / {dt_x/dt_g:.2f}x)",
         flush=True,
     )
 

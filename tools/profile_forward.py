@@ -56,7 +56,9 @@ def run_traced(n_iter=6):
         )
         for _ in range(8)
     ]
-    collate = VoxelizeCollate(point_bucket_multiple=65536)
+    collate = VoxelizeCollate(
+        point_bucket_multiple=int(cfg.data.point_bucket_multiple)
+    )
     host = collate(items)
     batch = host.device
     state, model, _, _ = init_state(cfg, batch)
