@@ -94,27 +94,30 @@ class MinkUNetBase(Res16UNetBase):
         w = self._kernel("conv1p1s1", k0, self.in_channels, self.INIT_DIM)
         g, b = self._norm_params("bn1", self.INIT_DIM)
         out = nn.relu(ctx.norm(ctx.conv_in(x, w, None), g, b, 0))
-        out_b1p1 = self._blocks(ctx, 1, out, 0, self.INIT_DIM, p[0], lay[0])
+        out_b1p1, _ = self._blocks(ctx, 1, out, 0, self.INIT_DIM, p[0],
+                                   lay[0])
 
         out = down("conv2p1s2", out_b1p1, 0, p[0] * e)
-        out_b2p2 = self._blocks(ctx, 2, out, 1, p[0] * e, p[1], lay[1])
+        out_b2p2, _ = self._blocks(ctx, 2, out, 1, p[0] * e, p[1], lay[1])
 
         out = down("conv3p2s2", out_b2p2, 1, p[1] * e)
-        out_b3p4 = self._blocks(ctx, 3, out, 2, p[1] * e, p[2], lay[2])
+        out_b3p4, _ = self._blocks(ctx, 3, out, 2, p[1] * e, p[2], lay[2])
 
         out = down("conv4p4s2", out_b3p4, 2, p[2] * e)
-        out = self._blocks(ctx, 4, out, 3, p[2] * e, p[3], lay[3])
+        out, _ = self._blocks(ctx, 4, out, 3, p[2] * e, p[3], lay[3])
         feature_maps = [ctx.rows(out, 3)]  # stride 8
 
         # --- Decoder (reference resunet.py:233-253) ---
         out = up("convtr4p8s2", out, 3, p[3] * e, p[4])
         out = ctx.cat(out, out_b3p4)
-        out = self._blocks(ctx, 5, out, 2, p[4] + p[2] * e, p[4], lay[4])
+        out, _ = self._blocks(ctx, 5, out, 2, p[4] + p[2] * e, p[4],
+                              lay[4])
         feature_maps.append(ctx.rows(out, 2))  # stride 4
 
         out = up("convtr5p4s2", out, 2, p[4] * e, p[5])
         out = ctx.cat(out, out_b2p2)
-        out = self._blocks(ctx, 6, out, 1, p[5] + p[1] * e, p[5], lay[5])
+        out, _ = self._blocks(ctx, 6, out, 1, p[5] + p[1] * e, p[5],
+                              lay[5])
         feature_maps.append(ctx.rows(out, 1))  # stride 2
 
         out = up("convtr6p2s2", out, 1, p[5] * e, p[6])

@@ -125,6 +125,17 @@ def test_dp_sp_backbone_exact_with_identity_norm(monkeypatch):
         dense_ops, "dense_instance_norm",
         lambda x, occ, g, b, eps=1e-5: x * occ,
     )
+    # The fused stem embeds its own norm — unfuse it so the stub above
+    # covers the whole backbone (same decomposition it is oracle-tested
+    # against in tests/test_dense_ops.py).
+    monkeypatch.setattr(
+        dense_ops, "dense_stem_fused",
+        lambda x, w, occ, g, b, bias=None, compute_dtype=None, eps=1e-5:
+            jnp.maximum(dense_ops.dense_instance_norm(
+                dense_ops.dense_conv_same_zfold(
+                    x, w, occ, bias=bias, compute_dtype=compute_dtype
+                ), occ, g, b, eps), 0),
+    )
 
     host = _batch(2)
     batch = host.device
@@ -221,6 +232,16 @@ def test_dp_sp_eval_tight_with_f64_norm_stats(monkeypatch):
     cfg0 = _cfg(None)
     state, model0, _, _ = init_state(cfg0, batch)
     monkeypatch.setattr(dense_ops, "dense_instance_norm", f64_stats_norm)
+    # Unfuse the stem so its norm stats also run through f64_stats_norm
+    # (the fused form keeps f32 folded-layout stats).
+    monkeypatch.setattr(
+        dense_ops, "dense_stem_fused",
+        lambda x, w, occ, g, b, bias=None, compute_dtype=None, eps=1e-5:
+            jnp.maximum(f64_stats_norm(
+                dense_ops.dense_conv_same_zfold(
+                    x, w, occ, bias=bias, compute_dtype=compute_dtype
+                ), occ, g, b, eps), 0),
+    )
 
     def bb_fn(cfg, model):
         caps = level_capacities(cfg, batch.coords.shape[1])
