@@ -284,15 +284,22 @@ def dense_stem_fused(x, weight, occ, gamma, beta, bias=None,
     # [B, Gx, Gy, Gz*Cout], z-major folding (index = z*Cout + c)
     if bias is not None:
         yf = yf + jnp.tile(bias, gz).astype(yf.dtype)
-    occf = occ.reshape(b, gx, gy, gz).astype(jnp.float32)
-    # z-major repeat of the occupancy into the folded lanes.
-    occr = jnp.repeat(occf, cout, axis=-1, total_repeat_length=gz * cout)
+    occf = occ.reshape(b, gx, gy, gz)
+    # z-major repeat of the occupancy into the folded lanes, in yf's dtype
+    # (the 0/1 mask multiply is exact in bf16; keeping the [B,Gx,Gy,Gz*C]
+    # intermediate out of f32 halves its HBM footprint — the f32 occr
+    # variant materialized a transposed f32 copy, ~1.8 ms on v5e).
+    occy = jnp.repeat(
+        occf.astype(yf.dtype), cout, axis=-1, total_repeat_length=gz * cout
+    )
     # Masked IN stats per (item, channel): fold-aware — sum over (x, y)
     # keeps the folded lanes, then the tiny [B, Gz*C] -> [B, C] z-reduce.
-    ym = yf.astype(jnp.float32) * occr
+    ym = (yf * occy).astype(jnp.float32)
     s1 = jnp.sum(ym, axis=(1, 2)).reshape(b, gz, cout).sum(axis=1)
     s2 = jnp.sum(ym * ym, axis=(1, 2)).reshape(b, gz, cout).sum(axis=1)
-    cnt = jnp.maximum(jnp.sum(occf, axis=(1, 2, 3)), 1.0)[:, None]  # [B,1]
+    cnt = jnp.maximum(
+        jnp.sum(occf.astype(jnp.float32), axis=(1, 2, 3)), 1.0
+    )[:, None]  # [B, 1]
     mean = s1 / cnt
     var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
     rs = jax.lax.rsqrt(var + eps)
@@ -303,7 +310,6 @@ def dense_stem_fused(x, weight, occ, gamma, beta, bias=None,
     # 5D at the end is the single transpose-fusion write.
     kf = jnp.tile(kk, (1, gz))[:, None, None, :]  # [B, 1, 1, Gz*C]
     tf = jnp.tile(tt, (1, gz))[:, None, None, :]
-    occy = occr.astype(yf.dtype)
     out = jnp.maximum(yf * occy * kf + occy * tf, 0)
     return out.reshape(b, gx, gy, gz, cout)
 
