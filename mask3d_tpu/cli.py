@@ -63,6 +63,23 @@ def main(argv=None):
 
     dist.maybe_initialize(cfg)
 
+    # Persistent compilation cache: the flagship train/eval steps compile
+    # in minutes on remote/tunneled TPU backends; cached reloads take
+    # seconds. Override the location with MASK3D_COMPILE_CACHE.
+    import os
+
+    import jax
+
+    cache = os.environ.get("MASK3D_COMPILE_CACHE")
+    if cache is None:
+        suffix = (
+            ".jax_cache_tpu" if jax.default_backend() == "tpu"
+            else ".jax_cache"
+        )
+        cache = os.path.join(os.getcwd(), suffix)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     trainer = InstanceSegmentationTrainer(cfg)
     if command == "train":
         trainer.fit()
