@@ -140,6 +140,13 @@ def main(batch_size: int = 8):
         # removes the per-conv absmax reduce passes (93.4 -> 86.2 ms with
         # the bucket change; -5.4 ms alone at 65536).
         "model.int8_act_sigma=10",
+        # Intermediate block outputs materialize ONLY as int8 (QGrid): the
+        # residual consumer dequantizes in-register. Removes/halves the
+        # duplicated bf16 junction epilogue+quantize passes (18.3 ms of
+        # the 86.2 ms device forward pre-change, op dump 2026-08-19).
+        # Parity: tests/test_e2e.py::test_int8_eval_metrics_match_fp32
+        # (int8-residual variant).
+        "model.int8_residual=true",
         # Features are constant ones here (reference indoor.yaml
         # add_colors: false): the dense stem reads the occupancy grid
         # instead of re-scattering identical rows (exact).
@@ -199,18 +206,30 @@ def main(batch_size: int = 8):
     # to ~15 ms.
     from functools import partial
 
-    from mask3d_tpu.data.transfer import decode_keys_u8, encode_batch_u8
+    from mask3d_tpu.data.transfer import (
+        decode_pyramid_u8,
+        encode_pyramid_u8,
+    )
 
+    # The u8 buffer also carries the HOST-computed coarse pyramid keys
+    # (data/transfer.py::coarse_pyramid_host; equivalence test
+    # tests/test_data_io.py::test_host_pyramid_matches_device_build):
+    # the device skips the per-level cumsum+scatter compaction (~4 ms of
+    # the 86.2 ms device forward, op dump 2026-08-19) for ~15% more
+    # transfer bytes on the overlapped stager thread.
     @partial(jax.jit, static_argnums=(3,))
     def infer(params, buffers, buf, n_cap):
-        keys, counts, dims = decode_keys_u8(buf, batch_size, n_cap)
+        caps = level_capacities(cfg, n_cap)
+        (keys, counts, dims), coarse = decode_pyramid_u8(
+            buf, batch_size, n_cap, caps
+        )
         coords = unpack_keys(keys, dims)
         rows = jnp.arange(keys.shape[1], dtype=jnp.int32)[None]
         coords = jnp.where((rows < counts[:, None])[..., None], coords, 0)
         feats = jnp.ones(keys.shape + (1,), jnp.float32)
         sb = build_sparse_batch(
-            coords, counts, dims,
-            level_capacities(cfg, keys.shape[1]),
+            coords, counts, dims, caps,
+            precomputed_levels=coarse,
             **_sb_kwargs(cfg, batch.grid_dims),
         )
         out = model.apply(
@@ -221,8 +240,12 @@ def main(batch_size: int = 8):
         return out.pred_class, out.pred_masks
 
     def host_args(b):
-        buf = encode_batch_u8(np.asarray(b.coords), b.counts, b.dims)
-        return buf, int(b.coords.shape[1])
+        n_cap = int(b.coords.shape[1])
+        buf = encode_pyramid_u8(
+            np.asarray(b.coords), b.counts, b.dims,
+            level_capacities(cfg, n_cap),
+        )
+        return buf, n_cap
 
     def run_one(args):
         buf, n_cap = args

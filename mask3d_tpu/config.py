@@ -147,6 +147,13 @@ class ModelConfig:
     # training always stays in compute_dtype (round() has no gradient).
     # Parity gate: tests/test_e2e.py::test_int8_eval_metrics_match_fp32
     int8_stride1: bool = False
+    # TPU-specific: with int8_stride1 + int8_act_sigma>0, intermediate
+    # backbone block outputs are materialized ONLY as int8 (QGrid): the
+    # next block's conv consumes them directly and its residual path
+    # dequantizes in-register. Kills the duplicated bf16 junction
+    # epilogue+quantize passes (18.3 ms of the 86.2 ms flagship forward,
+    # op dump 2026-08-19). Same parity gates as int8_stride1.
+    int8_residual: bool = False
     # TPU-specific: sigma multiplier for STATIC int8 activation scales
     # derived from the InstanceNorm affine params (per-channel bound
     # sigma*|gamma|+|beta| on the standardized post-norm activations —

@@ -94,6 +94,97 @@ def encode_batch_u8(coords, counts, dims, escape_capacity: int = 4096):
     return encode_keys_u8(keys, counts, dims, escape_capacity)
 
 
+def coarse_pyramid_host(coords, counts, dims, level_capacities):
+    """Host-side stride-2 pyramid keys (the collator's half of the device
+    pyramid build).
+
+    Mirrors `dense_ops.downsample_level_dense` level semantics exactly:
+    per item, level l+1 = sorted unique of (coords_l >> 1) packed in the
+    per-item dims_{l+1} = ((dims_l - 1) >> 1) + 1. Rows beyond the level
+    capacity are truncated in the SHIPPED key list only (the device flags
+    overflow from the raw count); the next level still derives from the
+    FULL cell set, because the device chain pools the untruncated
+    occupancy grids.
+
+    Returns [(keys u8-encodable i32[B, cap_l], raw_counts i32[B],
+    dims i32[B, 3])] per coarse level. The device then skips the
+    cumsum+scatter compaction passes (~4 ms/forward at flagship shape).
+    """
+    coords = np.asarray(coords)
+    counts = np.asarray(counts, np.int64)
+    dims = np.asarray(dims, np.int64)
+    b = coords.shape[0]
+    per_item = [coords[i, : counts[i]].astype(np.int64) for i in range(b)]
+    d = dims
+    out = []
+    for cap in level_capacities:
+        d = ((d - 1) >> 1) + 1
+        keys = np.zeros((b, cap), np.int32)
+        raw = np.zeros((b,), np.int32)
+        nxt = []
+        for i in range(b):
+            c = per_item[i] >> 1
+            k = np.unique(
+                (c[:, 0] * d[i, 1] + c[:, 1]) * d[i, 2] + c[:, 2]
+            )
+            raw[i] = len(k)
+            ks = k[:cap]
+            keys[i, : len(ks)] = ks.astype(np.int32)
+            if len(ks):
+                keys[i, len(ks):] = np.int32(ks[-1])  # zero deltas in pad
+            # next level derives from the FULL cell set (see docstring)
+            z = k % d[i, 2]
+            r = k // d[i, 2]
+            nxt.append(np.stack([r // d[i, 1], r % d[i, 1], z], axis=-1))
+        per_item = nxt
+        out.append((keys, raw, d.astype(np.int32)))
+    return out
+
+
+def encode_pyramid_u8(coords, counts, dims, level_capacities,
+                      escape_capacity: int = 4096,
+                      coarse_escape_capacity: int = 1024):
+    """ONE uint8 buffer carrying the base level (`encode_batch_u8`) plus
+    every coarse level's keys/raw-counts/dims (`encode_keys_u8` each,
+    concatenated at static offsets — `decode_pyramid_u8` inverts)."""
+    bufs = [encode_batch_u8(coords, counts, dims, escape_capacity)]
+    for keys, raw, d in coarse_pyramid_host(coords, counts, dims,
+                                            level_capacities):
+        bufs.append(encode_keys_u8(keys, raw, d, coarse_escape_capacity))
+    return np.concatenate(bufs)
+
+
+def pyramid_buf_sizes(batch, n_cap, level_capacities,
+                      escape_capacity: int = 4096,
+                      coarse_escape_capacity: int = 1024):
+    sizes = [batch * n_cap + escape_capacity * 12 + batch * 16]
+    sizes += [
+        batch * cap + coarse_escape_capacity * 12 + batch * 16
+        for cap in level_capacities
+    ]
+    return sizes
+
+
+def decode_pyramid_u8(buf, batch: int, n_cap: int, level_capacities,
+                      escape_capacity: int = 4096,
+                      coarse_escape_capacity: int = 1024):
+    """Inverse of `encode_pyramid_u8` on device: -> ((keys, counts, dims)
+    for the base level, [(keys, raw_counts, dims)] per coarse level)."""
+    sizes = pyramid_buf_sizes(batch, n_cap, level_capacities,
+                              escape_capacity, coarse_escape_capacity)
+    off = 0
+    base = decode_keys_u8(buf[:sizes[0]], batch, n_cap, escape_capacity)
+    off = sizes[0]
+    coarse = []
+    for cap, size in zip(level_capacities, sizes[1:]):
+        coarse.append(
+            decode_keys_u8(buf[off: off + size], batch, int(cap),
+                           coarse_escape_capacity)
+        )
+        off += size
+    return base, coarse
+
+
 def _bitcast_i32(u8_flat, shape):
     return jax.lax.bitcast_convert_type(
         u8_flat.reshape(shape + (4,)), jnp.int32

@@ -126,6 +126,13 @@ class _GatherCtx:
     def cat(self, a, b):
         return jnp.concatenate([a, b], axis=-1)
 
+    def block_join(self, out, residual, level_idx, bound=None,
+                   want_q=False):
+        """Residual join: relu(out + residual). `want_q` is a dense-impl
+        int8 knob (QGrid junction outputs) — a no-op on the gather path."""
+        del level_idx, bound, want_q
+        return nn.relu(out + residual)
+
     def rows(self, feats, level_idx):
         return feats
 
@@ -150,13 +157,17 @@ class _DenseCtx:
     """
 
     def __init__(self, sb: SparseBatch, grid_dims, compute_dtype,
-                 sp_axis=None, int8_stride1=False, int8_act_sigma=0.0):
+                 sp_axis=None, int8_stride1=False, int8_act_sigma=0.0,
+                 int8_residual=False):
         from mask3d_tpu.parallel.mesh import maybe_constrain, sp_min_per_shard
 
         self.sb = sb
         self.dt = compute_dtype
         self.int8_l0 = int8_stride1
         self.int8_sigma = float(int8_act_sigma)
+        self.int8_res = bool(int8_residual) and int8_stride1 and (
+            self.int8_sigma > 0
+        )
         self.grid_dims = list(grid_dims)  # per level
         # Per-level: shard the grid-x axis only while the per-shard extent
         # stays >= 2 (XLA SPMD miscompile guard, see parallel/mesh.py);
@@ -207,6 +218,10 @@ class _DenseCtx:
         return bound if self.int8_sigma > 0 else None
 
     def conv3(self, x, w, level_idx, b=None, bound=None):
+        if isinstance(x, dense_ops.QGrid) and not (
+            self.int8_l0 and min(w.shape[1], w.shape[2]) >= 96
+        ):
+            x = dense_ops.dequantize(x, self.dt or jnp.float32)
         if (
             self.int8_l0
             and min(w.shape[1], w.shape[2]) >= 96
@@ -245,6 +260,10 @@ class _DenseCtx:
         )
 
     def conv1x1(self, x, w, level_idx, bound=None):
+        if isinstance(x, dense_ops.QGrid) and not (
+            self.int8_l0 and min(w.shape[1], w.shape[2]) >= 96
+        ):
+            x = dense_ops.dequantize(x, self.dt or jnp.float32)
         if (
             self.int8_l0
             and min(w.shape[1], w.shape[2]) >= 96
@@ -263,6 +282,28 @@ class _DenseCtx:
 
     def cat(self, a, b):
         return jnp.concatenate([a, b], axis=-1)
+
+    def block_join(self, out, residual, level_idx, bound=None,
+                   want_q=False):
+        """Residual join `relu(out + residual)`, optionally emitting the
+        block output ONLY as a statically-quantized int8 grid (QGrid).
+
+        With `model.int8_residual`: an intermediate block output is
+        consumed exclusively by the next block (its int8 conv input and
+        its residual path), so the join pass quantizes in place and the
+        bf16 form never hits HBM — the downstream residual add dequantizes
+        in-register (error = the same static-bound quantization step the
+        conv input path already takes, gated by the int8 e2e parity
+        tests). The epilogue+quantize passes this removes/halves were
+        18.3 ms of the 86.2 ms flagship device forward (op dump
+        2026-08-19)."""
+        if isinstance(residual, dense_ops.QGrid):
+            residual = dense_ops.dequantize(residual, out.dtype)
+        y = nn.relu(out + residual)
+        if want_q and self.int8_res and bound is not None:
+            qg = dense_ops.quantize_static(y, bound)
+            return dense_ops.QGrid(self._cl[level_idx](qg.q), qg.scale)
+        return y
 
     def rows(self, x, level_idx):
         return dense_ops.gather_rows(
@@ -295,6 +336,9 @@ class Res16UNetBase(nn.Module):
     pallas_window_mode: str = "per_offset"  # windowed-conv DMA schedule
     sp_axis: Optional[str] = None  # sequence-parallel mesh axis (dense impl)
     int8_stride1: bool = False  # int8 stride-1 convs (dense, eval)
+    # Intermediate block outputs live as int8-only QGrids (dense int8
+    # eval path; needs int8_act_sigma>0) — see `_DenseCtx.block_join`.
+    int8_residual: bool = False
     # >0: STATIC int8 activation scales from InstanceNorm affine params
     # (bound sigma*|gamma|+|beta| per channel) instead of dynamic absmax
     # reduce passes — see `_act_bound` and dense_ops.dense_conv_same_int8.
@@ -358,11 +402,14 @@ class Res16UNetBase(nn.Module):
         y = nn.sigmoid(jnp.dot(y, w2) + b2)
         return x * y.astype(x.dtype)
 
-    def _block(self, ctx, name, x, level_idx, cin, planes, bin_=None):
+    def _block(self, ctx, name, x, level_idx, cin, planes, bin_=None,
+               want_q=False):
         """BasicBlock (`mask3d/models/modules/resnet_block.py:7-68`).
 
         `bin_` is the optional static activation bound on `x` (int8 scale
         derivation — `_act_bound`); returns `(out, bound_of_out)`.
+        `want_q`: the output may be returned as a quantized QGrid
+        (int8_residual — see `_DenseCtx.block_join`).
         """
         residual = x
         w1 = self._kernel(f"{name}_conv1", 27, cin, planes)
@@ -386,10 +433,14 @@ class Res16UNetBase(nn.Module):
         else:
             bres = bin_
         bout = None if (bout is None or bres is None) else bout + bres
-        return nn.relu(out + residual), bout
+        return (
+            ctx.block_join(out, residual, level_idx, bound=bout,
+                           want_q=want_q),
+            bout,
+        )
 
     def _block_bottleneck(self, ctx, name, x, level_idx, cin, planes,
-                          bin_=None):
+                          bin_=None, want_q=False):
         """Bottleneck block (`mask3d/models/modules/resnet_block.py:83-146`):
         1x1 reduce -> 3^3 conv -> 1x1 expand (x4), InstanceNorm."""
         e = self.EXPANSION
@@ -423,18 +474,31 @@ class Res16UNetBase(nn.Module):
         else:
             bres = bin_
         bout = None if (bout is None or bres is None) else bout + bres
-        return nn.relu(out + residual), bout
+        return (
+            ctx.block_join(out, residual, level_idx, bound=bout,
+                           want_q=want_q),
+            bout,
+        )
 
     def _blocks(self, ctx, stage, x, level_idx, cin, planes, n, bin_=None):
         block = (
             self._block_bottleneck if self.BLOCK == "bottleneck"
             else self._block
         )
+        # int8_residual: INTERMEDIATE block outputs (consumed only by the
+        # next block) may live as int8-only QGrids; the stage-final output
+        # feeds skips/taps/pools and stays bf16. Gated to the conv widths
+        # the int8 path covers (>= 96 ch).
+        wq = (
+            self.int8_residual
+            and getattr(ctx, "int8_res", False)
+            and planes * self.EXPANSION >= 96
+        )
         for i in range(n):
             x, bin_ = block(
                 ctx, f"block{stage}_{i}", x, level_idx,
                 cin if i == 0 else planes * self.EXPANSION, planes,
-                bin_=bin_,
+                bin_=bin_, want_q=wq and i < n - 1,
             )
         return x, bin_
 
@@ -450,7 +514,8 @@ class Res16UNetBase(nn.Module):
             ctx = _DenseCtx(sb, grid_dims, self.compute_dtype,
                             sp_axis=self.sp_axis,
                             int8_stride1=self.int8_stride1,
-                            int8_act_sigma=self.int8_act_sigma)
+                            int8_act_sigma=self.int8_act_sigma,
+                            int8_residual=self.int8_residual)
             if self.unit_features and self.in_channels == 1:
                 # scatter(ones) == the occupancy grid, already built by
                 # build_sparse_batch — one fewer full-grid row scatter

@@ -335,6 +335,10 @@ class Mask3D(nn.Module):
     # sparse/dense_ops.py::dense_conv_same_int8). Training keeps
     # compute_dtype — quantization round() has no useful gradient.
     int8_stride1: bool = False
+    # Intermediate backbone block outputs materialize ONLY as int8 (the
+    # residual consumer dequantizes in-register) — kills the duplicated
+    # bf16 junction-epilogue passes; needs int8_stride1 + int8_act_sigma.
+    int8_residual: bool = False
     # >0: static int8 activation scales derived from the InstanceNorm
     # affine params (sigma*|gamma|+|beta| bound) instead of dynamic
     # per-conv absmax reduces (see backbone.py::_act_bound).
@@ -392,6 +396,7 @@ class Mask3D(nn.Module):
             pallas_window_mode=self.pallas_window_mode,
             sp_axis=self.sp_axis,
             int8_stride1=self.int8_stride1 and is_eval,
+            int8_residual=self.int8_residual,
             int8_act_sigma=self.int8_act_sigma,
             unit_features=self.unit_features,
             name="backbone",

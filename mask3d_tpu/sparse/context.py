@@ -67,6 +67,7 @@ def build_sparse_batch(
     grid_cells: Optional[Sequence[int]] = None,
     grid_dims: Optional[Sequence] = None,
     build_pool_parents: bool = True,
+    precomputed_levels: Optional[Sequence] = None,
 ) -> SparseBatch:
     """Build the full sparse context from collated stride-1 voxels.
 
@@ -82,7 +83,36 @@ def build_sparse_batch(
         grid_cells = tuple(int(d[0] * d[1] * d[2]) for d in grid_dims)
     base = build_base_level(coords, count, dims)
     occ_grids = ()
-    if grid_dims is not None:
+    if grid_dims is not None and precomputed_levels is not None:
+        # Coarse levels computed by the HOST collator (the sorted-unique
+        # of coords>>1 per level, shipped as u8-delta keys —
+        # `data/transfer.py::encode_pyramid_u8`). Skips the device
+        # cumsum+scatter compaction passes entirely (~4 ms/forward at
+        # flagship shape); coarse occupancy still derives from the cheap
+        # maxpool chain. PoolMap carries only the overflow flag — the
+        # dense execution path pools on grids and reads nothing else.
+        from mask3d_tpu.sparse.dense_ops import (
+            level_from_keys,
+            maxpool2,
+            occupancy,
+        )
+
+        levels, pools = [base], []
+        occ_list = [occupancy(base, grid_dims[0])]
+        for li, (cap, (keys_l, raw_l, dims_l)) in enumerate(
+            zip(level_capacities, precomputed_levels)
+        ):
+            lvl = level_from_keys(
+                keys_l, raw_l, dims_l, stride=2 ** (li + 1), capacity=cap
+            )
+            levels.append(lvl)
+            occ_list.append(maxpool2(occ_list[-1]))
+            pools.append(
+                PoolMap(parent=None, kidx=None, nchild=None,
+                        overflow=raw_l > cap)
+            )
+        occ_grids = tuple(occ_list)
+    elif grid_dims is not None:
         from mask3d_tpu.sparse.dense_ops import (
             downsample_level_dense,
             occupancy,

@@ -21,7 +21,7 @@ kernel cube) reshapes directly to `[kx, ky, kz, Cin, Cout]`.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -167,6 +167,37 @@ def dense_conv_same(x, weight, occ, bias=None, compute_dtype=None):
     return out * occ.astype(out.dtype)
 
 
+class QGrid(NamedTuple):
+    """Statically-quantized dense grid: `deq = q * scale` (per channel).
+
+    Produced at block junctions when `model.int8_residual` is set: the
+    intermediate block output is materialized ONLY as int8 (its bf16 form
+    never hits HBM), halving the junction-epilogue bandwidth — the
+    epilogue+quantize passes were 18.3 ms of the 86.2 ms flagship forward
+    (jax.profiler op dump, 2026-08-19). Consumers: the next block's conv
+    (which needs exactly this int8 form) and its residual path
+    (dequantized in-register inside the join pass).
+    """
+
+    q: jnp.ndarray      # int8 [B, Gx, Gy, Gz, C]
+    scale: jnp.ndarray  # f32 [C], dequant scale (= bound / 127)
+
+
+def quantize_static(x, bound):
+    """Quantize with the static per-channel bound — bit-identical to the
+    input quantization inside `dense_conv_same_int8` given the same bound
+    (shared math so QGrid-fed convs match quantize-at-conv exactly)."""
+    sx = jnp.maximum(bound.astype(jnp.float32), 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (1.0 / sx)), -127.0, 127.0
+    ).astype(jnp.int8)
+    return QGrid(q, sx)
+
+
+def dequantize(qg: QGrid, dtype=jnp.float32):
+    return (qg.q.astype(jnp.float32) * qg.scale).astype(dtype)
+
+
 def dense_conv_same_int8(x, weight, occ, bias=None, out_dtype=jnp.bfloat16,
                          act_bound=None):
     """Dynamically-quantized int8 submanifold conv (inference fast path).
@@ -196,14 +227,19 @@ def dense_conv_same_int8(x, weight, occ, bias=None, out_dtype=jnp.bfloat16,
     cin, cout = weight.shape[1], weight.shape[2]
     w = weight.reshape(k, k, k, cin, cout).astype(jnp.float32)
 
-    if act_bound is None:
-        ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2, 3))
+    if isinstance(x, QGrid):
+        # Pre-quantized by the producing block junction (int8_residual):
+        # no quantize pass at all — the junction already wrote int8.
+        xq, sx = x.q, x.scale
     else:
-        ax = act_bound.astype(jnp.float32)  # [Cin]
-    sx = jnp.maximum(ax, 1e-8) * (1.0 / 127.0)
-    xq = jnp.clip(
-        jnp.round(x.astype(jnp.float32) * (1.0 / sx)), -127.0, 127.0
-    ).astype(jnp.int8)
+        if act_bound is None:
+            ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(0, 1, 2, 3))
+        else:
+            ax = act_bound.astype(jnp.float32)  # [Cin]
+        sx = jnp.maximum(ax, 1e-8) * (1.0 / 127.0)
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (1.0 / sx)), -127.0, 127.0
+        ).astype(jnp.int8)
 
     wf = w * sx[None, None, None, :, None]  # fold activation scales
     aw = jnp.max(jnp.abs(wf), axis=(0, 1, 2, 3))  # [Cout]
@@ -462,6 +498,22 @@ def pooled_row_pyramid(grids, occ, levels, grid_dims, constrain=None):
             gather_rows(g, levels[li], grid_dims[li]) for g in gs
         ])
     return out
+
+
+def level_from_keys(keys, raw_count, dims, stride: int, capacity: int):
+    """SparseLevel from host-precomputed sorted keys (see
+    `data/transfer.py::coarse_pyramid_host`): same padding conventions as
+    `downsample_level_dense` (key INT32_MAX, coords 0, count clamped to
+    capacity) so the two builds are bit-identical (tested)."""
+    from mask3d_tpu.sparse.core import INT32_MAX, unpack_keys
+
+    count = jnp.minimum(raw_count, capacity)
+    rows = jnp.arange(capacity, dtype=jnp.int32)[None]
+    valid = rows < count[:, None]
+    key = jnp.where(valid, keys, INT32_MAX)
+    coords = jnp.where(valid[..., None], unpack_keys(keys, dims), 0)
+    return SparseLevel(key=key, coords=coords, valid=valid, count=count,
+                       dims=dims, stride=stride)
 
 
 def downsample_level_dense(level: SparseLevel, grid_dims, capacity: int,

@@ -76,6 +76,7 @@ def make_model(cfg: Config) -> Mask3D:
         attention_chunk=cfg.model.attention_chunk,
         attention_pallas_tile=cfg.model.attention_pallas_tile,
         int8_stride1=cfg.model.int8_stride1,
+        int8_residual=cfg.model.int8_residual,
         int8_act_sigma=cfg.model.int8_act_sigma,
         unit_features=cfg.model.unit_features,
     )

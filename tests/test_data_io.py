@@ -336,3 +336,70 @@ def test_collate_small_crops_wiring():
     hb3 = VoxelizeCollate(mode="test", small_crops=True,
                           point_bucket_multiple=512)(items)
     assert hb3.device.coords.shape[0] == 1
+
+
+def test_host_pyramid_matches_device_build():
+    """Host-computed coarse pyramid keys (coarse_pyramid_host + the u8
+    pyramid codec) must reproduce the device `downsample_level_dense`
+    levels BIT-exactly, including capacity truncation + overflow flags."""
+    import jax.numpy as jnp
+
+    from mask3d_tpu.data.transfer import (
+        coarse_pyramid_host,
+        decode_pyramid_u8,
+        encode_pyramid_u8,
+    )
+    from mask3d_tpu.sparse import build_sparse_batch
+    from mask3d_tpu.sparse.core import pack_keys
+
+    rng = np.random.default_rng(5)
+    b, n = 3, 256
+    dims_max = np.array([24, 20, 12])
+    coords = np.zeros((b, n, 3), np.int32)
+    counts = np.array([256, 40, 3], np.int32)
+    dims = np.zeros((b, 3), np.int32)
+    for i in range(b):
+        c = rng.integers(0, dims_max, size=(n, 3))
+        c = np.unique(c, axis=0)[: counts[i]]
+        counts[i] = len(c)
+        dims[i] = c.max(axis=0) + 1 if len(c) else 1
+        k = pack_keys(c, dims[i][None])
+        coords[i, : counts[i]] = c[np.argsort(k, kind="stable")]
+    grid_dims = []
+    d = dims_max.copy()
+    for _ in range(5):
+        grid_dims.append(tuple(int(v) for v in d))
+        d = ((d - 1) >> 1) + 1
+    # level-1 capacity of 32 FORCES truncation+overflow on item 0
+    caps = [32, 64, 32, 16]
+
+    kw = dict(level_capacities=caps, conv1_kernel_size=None,
+              build_block_maps=False, grid_dims=grid_dims)
+    sb_dev = build_sparse_batch(jnp.asarray(coords), jnp.asarray(counts),
+                                jnp.asarray(dims), build_pool_parents=False,
+                                **kw)
+    buf = encode_pyramid_u8(coords, counts, dims, caps)
+    (k0, c0, d0), coarse = decode_pyramid_u8(jnp.asarray(buf), b, n, caps)
+    np.testing.assert_array_equal(np.asarray(c0), counts)
+    sb_host = build_sparse_batch(jnp.asarray(coords), jnp.asarray(counts),
+                                 jnp.asarray(dims),
+                                 precomputed_levels=coarse, **kw)
+
+    assert any(np.asarray(p.overflow).any() for p in sb_host.pools)
+    for lv_d, lv_h in zip(sb_dev.levels, sb_host.levels):
+        for field in ("key", "coords", "valid", "count", "dims"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(lv_d, field)),
+                np.asarray(getattr(lv_h, field)), err_msg=field,
+            )
+    for od, oh in zip(sb_dev.occ, sb_host.occ):
+        np.testing.assert_array_equal(np.asarray(od), np.asarray(oh))
+    for pd, ph in zip(sb_dev.pools, sb_host.pools):
+        np.testing.assert_array_equal(
+            np.asarray(pd.overflow), np.asarray(ph.overflow)
+        )
+    # host coarse keys are themselves what the codec shipped
+    host_levels = coarse_pyramid_host(coords, counts, dims, caps)
+    for (hk, hraw, hd), (ck, craw, cd) in zip(host_levels, coarse):
+        np.testing.assert_array_equal(hraw, np.asarray(craw))
+        np.testing.assert_array_equal(hd, np.asarray(cd))

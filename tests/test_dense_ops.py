@@ -365,6 +365,83 @@ def test_dense_conv_same_int8_static_bound(rng):
     assert np.abs(tight - ref_clip).max() < 0.03 * np.abs(ref_clip).max()
 
 
+def test_int8_qgrid_conv_matches_quantize_at_conv(rng):
+    """A QGrid-fed int8 conv (int8_residual junction output) must be
+    BIT-IDENTICAL to quantizing the same bf16 tensor at the conv entry
+    with the same static bound — quantize_static shares the exact math."""
+    level, _ = make_level(rng)
+    cin, cout = 8, 6
+    feats = rng.normal(size=(2, level.capacity, cin)).astype(np.float32)
+    feats[~np.asarray(level.valid)] = 0
+    w = rng.normal(size=(27, cin, cout)).astype(np.float32)
+    dense = dense_ops.scatter_rows(jnp.asarray(feats), level, GRID)
+    occ = dense_ops.occupancy(level, GRID)
+    bound = jnp.max(jnp.abs(dense), axis=(0, 1, 2, 3)) * 1.3 + 0.1
+    at_conv = np.asarray(dense_ops.dense_conv_same_int8(
+        dense, jnp.asarray(w), occ, out_dtype=jnp.float32,
+        act_bound=bound))
+    qg = dense_ops.quantize_static(dense, bound)
+    pre_q = np.asarray(dense_ops.dense_conv_same_int8(
+        qg, jnp.asarray(w), occ, out_dtype=jnp.float32))
+    np.testing.assert_array_equal(at_conv, pre_q)
+    # dequantize roundtrip error bounded by half a quant step per channel
+    deq = np.asarray(dense_ops.dequantize(qg))
+    step = np.asarray(qg.scale)
+    assert (np.abs(deq - np.asarray(dense)) <= 0.5 * step + 1e-6).all()
+
+
+def test_backbone_int8_residual_close_to_int8(rng):
+    """Full 34C dense forward: int8_residual (QGrid junctions) vs plain
+    int8 — the only numeric delta is the residual path reading the
+    dequantized junction output, bounded by the static-bound quant step."""
+    from mask3d_tpu.models.backbone import Res16UNet34C
+
+    level, _ = make_batch(rng, num_items=2, dims=(16, 16, 16), max_pts=200,
+                          capacity=256)
+    grid_dims = tuple((16 >> l,) * 3 for l in range(5))
+    cells = tuple(int(np.prod(d)) for d in grid_dims)
+    sb = build_sparse_batch(
+        level.coords, level.count, level.dims,
+        level_capacities=[256, 128, 64, 32], conv1_kernel_size=None,
+        build_block_maps=False, grid_cells=cells,
+    )
+    feats = jnp.ones((2, 256, 1), jnp.float32)
+    feats = jnp.where(level.valid[..., None], feats, 0)
+
+    kw = dict(in_channels=1, conv1_kernel_size=3, impl="dense",
+              int8_stride1=True, int8_act_sigma=10.0)
+    m0 = Res16UNet34C(**kw)
+    m1 = Res16UNet34C(**kw, int8_residual=True)
+    mf = Res16UNet34C(in_channels=1, conv1_kernel_size=3, impl="dense")
+    params = m0.init(jax.random.PRNGKey(0), feats, sb, grid_dims)
+    out0, f0 = m0.apply(params, feats, sb, grid_dims)
+    out1, f1 = m1.apply(params, feats, sb, grid_dims)
+    outf, _ = mf.apply(params, feats, sb, grid_dims)
+
+    v = np.asarray(level.valid)
+    a0, a1 = np.asarray(out0)[v], np.asarray(out1)[v]
+    af = np.asarray(outf)[v]
+    # The flag must stay within the EXISTING int8-vs-fp32 error envelope
+    # (the residual deq adds at most the same static-bound quant step the
+    # conv inputs already take; at init the sigma-10 bounds are worst-case
+    # sums, so absolute errors are dominated by that shared step scale —
+    # the trained-model mAP gate lives in tests/test_e2e.py).
+    err0 = np.abs(a0 - af).max()
+    err1 = np.abs(a1 - af).max()
+    assert err1 <= 2.5 * max(err0, 1e-3), (err0, err1)
+    # and on average the outputs track the plain-int8 path closely
+    assert np.abs(a1 - a0).mean() < 0.02 * np.abs(a0).max()
+    # sigma=0 disables the QGrid path entirely: bit-identical outputs.
+    m_off = Res16UNet34C(in_channels=1, conv1_kernel_size=3, impl="dense",
+                         int8_stride1=True, int8_act_sigma=0.0,
+                         int8_residual=True)
+    m_ref = Res16UNet34C(in_channels=1, conv1_kernel_size=3, impl="dense",
+                         int8_stride1=True, int8_act_sigma=0.0)
+    o_off, _ = m_off.apply(params, feats, sb, grid_dims)
+    o_ref, _ = m_ref.apply(params, feats, sb, grid_dims)
+    np.testing.assert_array_equal(np.asarray(o_off), np.asarray(o_ref))
+
+
 def test_backbone_dense_matches_gather_odd_chain(rng):
     """8-multiple grid buckets give ceil-div level chains with ODD coarse
     dims (24 -> 12 -> 6 -> 3 -> 2). The padded dense pool/stride-2 ops must

@@ -144,6 +144,17 @@ N_PARITY_SCENES = 16
 _PARITY_BS = 2  # scenes per batch (8 batches of 2)
 
 
+def parity_config() -> Config:
+    """small_config with a MULTI-block-per-stage backbone (18A: LAYERS all
+    2, planes 96 at stages 7/8 like the flagship 34C) so the gates also
+    exercise the int8_residual QGrid junctions — 14A's single-block stages
+    have no intermediate block outputs and would leave that fast path
+    untested at the mAP level."""
+    cfg = small_config()
+    apply_overrides(cfg, ["model.backbone=Res16UNet18A"])
+    return cfg
+
+
 @pytest.fixture(scope="module")
 def parity16():
     """16 distinct scenes in ONE shared bucket shape + a model trained on
@@ -172,7 +183,7 @@ def parity16():
     assert len({b.device.coords.shape for b in batches}) == 1
     assert len({b.device.grid_dims for b in batches}) == 1
 
-    cfg = small_config()
+    cfg = parity_config()
     state, model, criterion, tx = init_state(cfg, batches[0].device)
     train_step = make_train_step(cfg, model, criterion, tx)
     for _epoch in range(14):
@@ -185,7 +196,7 @@ def parity16():
 def _variant_eval(state, batches, overrides):
     """Eval the trained state under a model-config override dict; returns
     (evaluator metrics over all 16 scenes, raw pred_masks logits)."""
-    cfg2 = small_config()
+    cfg2 = parity_config()
     for k, v in overrides.items():
         setattr(cfg2.model, k, v)
     _, model2, criterion2, _ = init_state(cfg2, batches[0].device)
@@ -222,13 +233,21 @@ MAP_TOL = 0.01  # BASELINE.md bar: mAP@50 within 0.005; gate at 0.01 abs
 def _assert_parity(ref, got, name, logit_tol):
     """mAP within MAP_TOL on all three IoU regimes + a logits-level bound
     (max |delta| over every (scene, point, query) mask logit, normalized
-    by the fp32 logits' std)."""
+    by the fp32 logits' std) + finiteness.
+
+    The logit bounds are calibrated per variant on THIS 18A fixture at
+    ~1.5x the measured max (2026-08-19 run: bf16 0.164, int8-dynamic
+    0.493, int8-sigma10 0.651, int8-residual 0.817; mAP deltas all
+    <= 0.0011). Max-|delta|/std is a catastrophic-breakage tripwire
+    (wraparound/NaN/garbage lands at 10-100x); the accuracy claim itself
+    is carried by the MAP_TOL gate over 16 scenes."""
     ref_m, ref_l = ref
     got_m, got_l = got
     for key in _MAP_KEYS:
         assert abs(ref_m[key] - got_m[key]) <= MAP_TOL, (
             name, key, ref_m[key], got_m[key]
         )
+    assert np.isfinite(got_l).all(), name
     scale = max(float(np.std(ref_l)), 1e-6)
     rel = float(np.abs(got_l - ref_l).max()) / scale
     assert rel <= logit_tol, (name, rel, scale)
@@ -242,17 +261,23 @@ def test_int8_eval_metrics_match_fp32(parity16):
     within a few percent of the fp32 logit scale."""
     state, batches = parity16
     ref = _variant_eval(state, batches, {})
-    # Tolerances from tools/calib_int8_logits.py (2026-08-19, max |delta|
-    # / fp32-std over 16 scenes): bf16 0.028, int8-dynamic 0.046,
-    # int8-sigma10 0.088 (sigma 10 picked there: clipping tail gone by
-    # sigma 8-10, quantization-step error grows slowly after).
+    # sigma=10 itself was picked in tools/calib_int8_logits.py (clipping
+    # tail gone by sigma 8-10, quantization-step error grows slowly
+    # after); the logit_tol values here are the 18A-fixture calibration
+    # documented in _assert_parity.
     int8 = _variant_eval(state, batches, {
         "int8_stride1": True, "compute_dtype": "bfloat16"})
-    _assert_parity(ref, int8, "int8-dynamic", logit_tol=0.15)
+    _assert_parity(ref, int8, "int8-dynamic", logit_tol=0.75)
     int8s = _variant_eval(state, batches, {
         "int8_stride1": True, "compute_dtype": "bfloat16",
         "int8_act_sigma": 10.0})
-    _assert_parity(ref, int8s, "int8-static10", logit_tol=0.25)
+    _assert_parity(ref, int8s, "int8-static10", logit_tol=1.0)
+    # int8_residual: intermediate block outputs live as int8-only QGrids
+    # (the bench's full flagship fast-path stack).
+    int8r = _variant_eval(state, batches, {
+        "int8_stride1": True, "compute_dtype": "bfloat16",
+        "int8_act_sigma": 10.0, "int8_residual": True})
+    _assert_parity(ref, int8r, "int8-residual", logit_tol=1.25)
 
 
 def test_unit_features_forward_identical(batch):
@@ -290,7 +315,7 @@ def test_bf16_eval_metrics_match_fp32(parity16):
     state, batches = parity16
     ref = _variant_eval(state, batches, {})
     bf16 = _variant_eval(state, batches, {"compute_dtype": "bfloat16"})
-    _assert_parity(ref, bf16, "bf16", logit_tol=0.1)
+    _assert_parity(ref, bf16, "bf16", logit_tol=0.25)
     assert bf16[0]["val_mean_ap_25"] > 0.0
 
 
