@@ -158,8 +158,12 @@ def main(batch_size: int = 8):
 
     # Scenes sized like Structured3D at rasterization 150mm (~40k voxels).
     rng = np.random.default_rng(0)
+    # Inference collation: voxelize+dedup+pad, no GT target-mask build (a
+    # serving pipeline has no labels; BASELINE.md's A100 collate estimate
+    # likewise counts the np.unique dedup + sparse_collate only).
     collate = VoxelizeCollate(
-        point_bucket_multiple=int(cfg.data.point_bucket_multiple)
+        point_bucket_multiple=int(cfg.data.point_bucket_multiple),
+        build_targets=False,
     )
 
     def make_items(seed):

@@ -17,6 +17,7 @@
 // - output sorted ascending by key = (x*Dy + y)*Dz + z
 
 #include <algorithm>
+#include <array>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -246,6 +247,100 @@ int pack_encode_u8(const int32_t* coords, const int32_t* counts,
     tail[i * 4 + 3] = dims[i * 3 + 2];
   }
   return static_cast<int>(n_esc);
+}
+
+// Host coarse-pyramid build + u8-delta encode of every coarse level
+// (mask3d_tpu/data/transfer.py::coarse_pyramid_host + encode_keys_u8
+// semantics; byte-identical concatenated sections — differential test in
+// tests/test_data_io.py). Per item and level: sorted unique of
+// (coords >> 1) packed in the halved per-item dims. The SHIPPED key list
+// truncates at the level capacity (the raw count is still shipped for
+// the device overflow flag) while the next level derives from the FULL
+// cell set, mirroring the device's untruncated occupancy-pool chain.
+// out layout per level: [b*cap u8 deltas][esc_cap*3 i32][b*4 i32 tail].
+// Returns 0, or -1 on escape-table overflow.
+int coarse_pyramid_encode_u8(const int32_t* coords, const int32_t* counts,
+                             const int32_t* dims, int64_t b, int64_t n,
+                             const int64_t* caps, int64_t n_levels,
+                             int64_t esc_cap, uint8_t* out) {
+  std::vector<std::vector<uint64_t>> keys(b);
+  std::vector<std::array<int64_t, 3>> d(b);
+  // level-0 state: keys of coords>>1 are built per level from the
+  // previous level's (x, y, z); keep coordinates to avoid re-dividing.
+  std::vector<std::vector<std::array<int32_t, 3>>> cur(b);
+  for (int64_t i = 0; i < b; ++i) {
+    d[i] = {dims[i * 3], dims[i * 3 + 1], dims[i * 3 + 2]};
+    cur[i].resize(counts[i]);
+    for (int64_t j = 0; j < counts[i]; ++j) {
+      const int32_t* c = coords + (i * n + j) * 3;
+      cur[i][j] = {c[0], c[1], c[2]};
+    }
+  }
+  uint8_t* p = out;
+  for (int64_t l = 0; l < n_levels; ++l) {
+    const int64_t cap = caps[l];
+    uint8_t* deltas = p;
+    int32_t* records = reinterpret_cast<int32_t*>(p + b * cap);
+    int32_t* tail = records + esc_cap * 3;
+    int64_t n_esc = 0;
+    for (int64_t i = 0; i < b; ++i) {
+      const std::array<int64_t, 3> dn = {
+          ((d[i][0] - 1) >> 1) + 1, ((d[i][1] - 1) >> 1) + 1,
+          ((d[i][2] - 1) >> 1) + 1};
+      std::vector<uint64_t>& k = keys[i];
+      k.resize(cur[i].size());
+      for (size_t j = 0; j < cur[i].size(); ++j) {
+        const auto& c = cur[i][j];
+        k[j] = (static_cast<uint64_t>(c[0] >> 1) * dn[1] + (c[1] >> 1)) *
+                   dn[2] +
+               (c[2] >> 1);
+      }
+      uint64_t maxv = 0;
+      for (uint64_t v : k) maxv = v > maxv ? v : maxv;
+      radix_sort_u64(k, bits_for(maxv));
+      k.erase(std::unique(k.begin(), k.end()), k.end());
+      const int64_t raw = static_cast<int64_t>(k.size());
+      const int64_t m = raw < cap ? raw : cap;
+      int64_t prev = 0;
+      for (int64_t j = 0; j < cap; ++j) {
+        int64_t dd = 0;
+        if (j < m) {
+          dd = static_cast<int64_t>(k[j]) - prev;
+          prev = static_cast<int64_t>(k[j]);
+        }
+        if (dd >= 255) {
+          if (n_esc >= esc_cap) return -1;
+          records[n_esc * 3 + 0] = static_cast<int32_t>(i);
+          records[n_esc * 3 + 1] = static_cast<int32_t>(j);
+          records[n_esc * 3 + 2] = static_cast<int32_t>(dd);
+          ++n_esc;
+          deltas[i * cap + j] = 255;
+        } else {
+          deltas[i * cap + j] = static_cast<uint8_t>(dd);
+        }
+      }
+      tail[i * 4 + 0] = static_cast<int32_t>(raw);
+      tail[i * 4 + 1] = static_cast<int32_t>(dn[0]);
+      tail[i * 4 + 2] = static_cast<int32_t>(dn[1]);
+      tail[i * 4 + 3] = static_cast<int32_t>(dn[2]);
+      // next level derives from the FULL (untruncated) cell set
+      cur[i].resize(raw);
+      for (int64_t j = 0; j < raw; ++j) {
+        const uint64_t key = k[j];
+        cur[i][j] = {static_cast<int32_t>(key / (dn[1] * dn[2])),
+                     static_cast<int32_t>((key / dn[2]) % dn[1]),
+                     static_cast<int32_t>(key % dn[2])};
+      }
+      d[i] = dn;
+    }
+    for (int64_t e = n_esc; e < esc_cap; ++e) {
+      records[e * 3 + 0] = 0;
+      records[e * 3 + 1] = static_cast<int32_t>(cap);  // dropped by scatter
+      records[e * 3 + 2] = 0;
+    }
+    p += b * cap + esc_cap * 12 + b * 16;
+  }
+  return 0;
 }
 
 }  // extern "C"

@@ -182,6 +182,7 @@ class VoxelizeCollate:
         min_grid_dims: Optional[Sequence[int]] = None,
         small_crops: bool = False,
         very_small_crops: bool = False,
+        build_targets: bool = True,
     ):
         self.mode = mode
         # Latent quadrant-crop options (reference VoxelizeCollate,
@@ -204,9 +205,18 @@ class VoxelizeCollate:
         self.min_grid_dims = (
             tuple(int(d) for d in min_grid_dims) if min_grid_dims else None
         )
+        # Inference/serving mode: skip GT target-mask construction and the
+        # raw feature/label row gathers (a serving pipeline has no labels;
+        # the A100 baseline's collate estimate counts dedup+collate only).
+        # ~20 ms/batch on the 1-core bench host. Targets come out with
+        # instance capacity 0.
+        self.build_targets = bool(build_targets)
 
     def _prepare_item(self, item: dict) -> dict:
         coords, keep, dims = voxelize_item(item["coordinates"])
+        if not self.build_targets:
+            return dict(coords=coords, keep=keep, dims=dims, labels=None,
+                        meta=None, scene=item["scene"], src=item)
         labels = np.asarray(item["labels"])[keep].astype(np.int32)
         meta = _item_target_meta(
             labels, self.filter_out_classes, self.filter_out_instance_ids
@@ -277,7 +287,7 @@ class VoxelizeCollate:
                 tuple(((d - 1) >> 1) + 1 for d in grid_dims[-1])
             )
         grid_dims = tuple(grid_dims)
-        i_cap = max(
+        i_cap = 0 if not self.build_targets else max(
             self.instance_bucket_multiple,
             -(-max(1, max(len(it["meta"]["labels"]) for it in per_item))
               // self.instance_bucket_multiple)
@@ -314,10 +324,15 @@ class VoxelizeCollate:
             dims[i] = it["dims"]
             _gather_rows(feats[i, :n], src["features"], keep)
             feats[i, n:] = 0
-            pt_inst[i, :n] = it["labels"][:, 1]
-            pt_inst[i, n:] = 0
             _gather_rows(raw_coords[i, :n], src["raw_coordinates"], keep)
             raw_coords[i, n:] = 0
+            if not self.build_targets:
+                pt_inst[i] = 0
+                raw_feats[i] = 0
+                raw_labels[i] = 0
+                return
+            pt_inst[i, :n] = it["labels"][:, 1]
+            pt_inst[i, n:] = 0
             _gather_rows(raw_feats[i, :n], src["raw_features"], keep)
             raw_feats[i, n:] = 0
             _gather_rows(raw_labels[i, :n], src["raw_labels"], keep)

@@ -147,7 +147,19 @@ def encode_pyramid_u8(coords, counts, dims, level_capacities,
     """ONE uint8 buffer carrying the base level (`encode_batch_u8`) plus
     every coarse level's keys/raw-counts/dims (`encode_keys_u8` each,
     concatenated at static offsets — `decode_pyramid_u8` inverts)."""
-    bufs = [encode_batch_u8(coords, counts, dims, escape_capacity)]
+    from mask3d_tpu.native import coarse_pyramid_encode_u8_native
+
+    base = encode_batch_u8(coords, counts, dims, escape_capacity)
+    coarse = coarse_pyramid_encode_u8_native(
+        coords, counts, dims, level_capacities, coarse_escape_capacity
+    )
+    if coarse is not None:
+        # C++ fused path (~10x faster on the 1-core bench host, where the
+        # per-item np.unique loop was measured as 20-40 ms/batch of feeder
+        # starvation); byte-identical (differential test in
+        # tests/test_data_io.py).
+        return np.concatenate([base, coarse])
+    bufs = [base]
     for keys, raw, d in coarse_pyramid_host(coords, counts, dims,
                                             level_capacities):
         bufs.append(encode_keys_u8(keys, raw, d, coarse_escape_capacity))

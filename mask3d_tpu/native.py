@@ -75,6 +75,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.coarse_pyramid_encode_u8.restype = ctypes.c_int
+        lib.coarse_pyramid_encode_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -126,6 +133,34 @@ def pack_encode_u8_native(coords: np.ndarray, counts: np.ndarray,
         raise ValueError(f"escapes exceed capacity {escape_capacity}")
     if rc == -2:
         raise ValueError("keys not sorted ascending within counts")
+    return out
+
+
+def coarse_pyramid_encode_u8_native(coords: np.ndarray, counts: np.ndarray,
+                                    dims: np.ndarray, level_capacities,
+                                    escape_capacity: int = 1024):
+    """C++ fused coarse-pyramid build + per-level u8-delta encode
+    (`transfer.coarse_pyramid_host` + `encode_keys_u8` per level,
+    byte-identical concatenation); None if unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "coarse_pyramid_encode_u8"):
+        return None
+    c = np.ascontiguousarray(coords, np.int32)
+    cnt = np.ascontiguousarray(counts, np.int32)
+    dm = np.ascontiguousarray(dims, np.int32)
+    caps = np.ascontiguousarray(level_capacities, np.int64)
+    b, n = c.shape[0], c.shape[1]
+    total = int(
+        sum(b * int(cap) + escape_capacity * 12 + b * 16 for cap in caps)
+    )
+    out = np.empty(total, np.uint8)
+    rc = lib.coarse_pyramid_encode_u8(
+        _ptr(c, ctypes.c_int32), _ptr(cnt, ctypes.c_int32),
+        _ptr(dm, ctypes.c_int32), b, n, _ptr(caps, ctypes.c_int64),
+        len(caps), escape_capacity, _ptr(out, ctypes.c_uint8),
+    )
+    if rc == -1:
+        raise ValueError(f"escapes exceed capacity {escape_capacity}")
     return out
 
 

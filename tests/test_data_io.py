@@ -403,3 +403,41 @@ def test_host_pyramid_matches_device_build():
     for (hk, hraw, hd), (ck, craw, cd) in zip(host_levels, coarse):
         np.testing.assert_array_equal(hraw, np.asarray(craw))
         np.testing.assert_array_equal(hd, np.asarray(cd))
+
+
+def test_native_coarse_pyramid_matches_numpy():
+    """C++ fused coarse-pyramid encode is byte-identical to the numpy
+    coarse_pyramid_host + encode_keys_u8 path (incl. capacity truncation
+    and escape records)."""
+    import pytest
+
+    from mask3d_tpu.data.transfer import coarse_pyramid_host, encode_keys_u8
+    from mask3d_tpu.native import coarse_pyramid_encode_u8_native
+    from mask3d_tpu.sparse.core import pack_keys
+
+    rng = np.random.default_rng(9)
+    b, n = 4, 512
+    coords = np.zeros((b, n, 3), np.int32)
+    counts = np.zeros(b, np.int32)
+    dims = np.ones((b, 3), np.int32)
+    for i in range(b):
+        c = rng.integers(0, [40, 30, 14], size=(n, 3))
+        c = np.unique(c, axis=0)
+        counts[i] = min(len(c), n)
+        c = c[: counts[i]]
+        if len(c):
+            dims[i] = c.max(axis=0) + 1
+            k = pack_keys(c, dims[i][None])
+            coords[i, : counts[i]] = c[np.argsort(k, kind="stable")]
+    counts[3] = 0  # empty item
+    caps = [64, 96, 32, 8]  # cap 64 forces truncation at level 1
+    esc = 64
+
+    got = coarse_pyramid_encode_u8_native(coords, counts, dims, caps, esc)
+    if got is None:
+        pytest.skip("native library unavailable")
+    want = np.concatenate([
+        encode_keys_u8(keys, raw, d, esc)
+        for keys, raw, d in coarse_pyramid_host(coords, counts, dims, caps)
+    ])
+    np.testing.assert_array_equal(got, want)
