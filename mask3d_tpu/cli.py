@@ -70,6 +70,18 @@ def main(argv=None):
 
     import jax
 
+    # Record this process as the TPU-tunnel owner (one TPU process at a
+    # time — see .claude/skills/verify/SKILL.md). bench.py SIGTERMs this
+    # pid at startup to take the tunnel exclusively; the trainer's SIGTERM
+    # handler writes last-epoch.ckpt first, so auto-resume replays at most
+    # the interrupted epoch.
+    if jax.default_backend() == "tpu":
+        try:
+            with open("/tmp/rehearsal.pid", "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
+
     cache = os.environ.get("MASK3D_COMPILE_CACHE")
     if cache is None:
         suffix = (
