@@ -10,9 +10,10 @@
 # Generates the dataset on first run (tools/make_synthetic_dataset.py),
 # pins ONE level-0 grid shape across the whole run (one train + one eval
 # executable), then launches experiment1_voxel_size_150_train.sh with the
-# HBM-fit overrides measured in tools/train_rehearsal.py (micro-batch 2 x
-# accum 8; the mixture pins a (152,112,32)-scale L0 grid that OOMs at
-# micro-batch 4). Auto-resumes from saved/…/r4_datascale/last-epoch.ckpt.
+# HBM-fit overrides: micro-batch 1 x accum 16 — the data-scale mixture
+# pins a (168,128,32) L0 grid, and micro-batch 2 OOMs the v5e at compile
+# (23.95G vs 15.75G HBM, measured 2026-08-20).
+# Auto-resumes from saved/…/r4_datascale/last-epoch.ckpt.
 set -e
 cd "$(dirname "$0")/.."
 ROOT=data/synth_stru3d
@@ -47,7 +48,7 @@ exec bash experiment_launch_scripts/experiment1_voxel_size_150_train.sh \
     'data.valid_scenes_file_path=null' \
     "data.min_grid_dims=[$GRID]" \
     'data.point_bucket_multiple=65536' \
-    'trainer.grad_accum_steps=8' \
+    'trainer.grad_accum_steps=16' \
     'model.remat_backbone=true' \
     'optimizer.lr=0.0003' \
     "trainer.max_epochs=$EPOCHS" \
