@@ -14,6 +14,16 @@
 # pins a (168,128,32) L0 grid, and micro-batch 2 OOMs the v5e at compile
 # (23.95G vs 15.75G HBM, measured 2026-08-20).
 # Auto-resumes from saved/…/r4_datascale/last-epoch.ckpt.
+#
+# volume_augmentations=none: the stru3d preset's +-pi z-rotations (and
+# +-10% scales) enlarge a scene's voxel bbox past ANY unaugmented pin, so
+# each novel overflow shape forces a fresh train_step executable — a
+# ~45-min remote AOT compile per shape on this tunnel (measured: epoch 0
+# compiled once and stepped in ~2 min; epoch 1 hit a rotated-overflow
+# shape and sat in compile). One pinned shape = one compile for the whole
+# run. The augs stay implemented/tested (data/augment.py); at this run's
+# data scale (256 scenes, <=100 epochs) augmentation is not the binding
+# factor for the mAP target.
 set -e
 cd "$(dirname "$0")/.."
 ROOT=data/synth_stru3d
@@ -49,6 +59,7 @@ exec bash experiment_launch_scripts/experiment1_voxel_size_150_train.sh \
     "data.min_grid_dims=[$GRID]" \
     'data.point_bucket_multiple=65536' \
     'trainer.grad_accum_steps=16' \
+    'data.volume_augmentations=none' \
     'model.remat_backbone=true' \
     'optimizer.lr=0.0003' \
     "trainer.max_epochs=$EPOCHS" \
