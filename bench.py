@@ -82,12 +82,26 @@ def _stop_stale_tpu_owner():
             if pid == os.getpid():
                 continue
             os.kill(pid, 0)  # raises if not alive
+            # Guard against a recycled pid: only signal processes whose
+            # cmdline looks like one of ours (cli.py removes the pidfile
+            # on clean exit, but a crash can leave it behind).
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmdline = f.read().replace(b"\0", b" ").decode(
+                    "utf-8", "replace")
+            if "mask3d" not in cmdline and "python" not in cmdline:
+                os.remove(pidfile)
+                continue
         except (OSError, ValueError):
             continue
         print(f"# bench: stopping TPU-owning pid {pid} from {pidfile}")
         try:
             os.kill(pid, signal.SIGTERM)
-            for _ in range(20):
+            # Grace long enough for the trainer's SIGTERM handler to
+            # finish an in-flight step and write last-epoch.ckpt
+            # (~475 MB); the save itself is atomic (temp + os.replace),
+            # so the eventual SIGKILL can at worst lose the newest save,
+            # never corrupt it.
+            for _ in range(120):
                 time.sleep(0.5)
                 os.kill(pid, 0)
             os.kill(pid, signal.SIGKILL)
@@ -101,6 +115,17 @@ def _stop_stale_tpu_owner():
 
 
 def main(batch_size: int = 8):
+    # Cooperative pause: tools/train_datascale.sh's supervisor waits
+    # while this file exists, so a preempted training run cannot relaunch
+    # into the middle of a bench window (ONE TPU process at a time).
+    import atexit
+
+    try:
+        open("/tmp/tpu_pause", "w").close()
+        atexit.register(lambda: os.path.exists("/tmp/tpu_pause")
+                        and os.remove("/tmp/tpu_pause"))
+    except OSError:
+        pass
     _stop_stale_tpu_owner()
     import jax
     import jax.numpy as jnp

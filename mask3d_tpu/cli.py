@@ -81,6 +81,20 @@ def main(argv=None):
                 f.write(str(os.getpid()))
         except OSError:
             pass
+        else:
+            # Clean-exit removal so a recycled pid can never be signalled
+            # by a later bench run (bench.py also verifies the cmdline).
+            import atexit
+
+            def _drop_pidfile(pid=os.getpid()):
+                try:
+                    with open("/tmp/rehearsal.pid") as f:
+                        if int(f.read().strip()) == pid:
+                            os.remove("/tmp/rehearsal.pid")
+                except (OSError, ValueError):
+                    pass
+
+            atexit.register(_drop_pidfile)
 
     cache = os.environ.get("MASK3D_COMPILE_CACHE")
     if cache is None:

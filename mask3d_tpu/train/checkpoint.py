@@ -38,13 +38,25 @@ def _flat(tree) -> Dict[Tuple[str, ...], Any]:
 
 def save_checkpoint(path: str, state, epoch: int = 0,
                     metadata: Optional[dict] = None):
+    # Atomic: write to a temp file then os.replace, so a SIGKILL landing
+    # mid-save (bench.py preemption after its SIGTERM grace) can never
+    # truncate the sole resume checkpoint. Worst case the previous save
+    # survives intact and resume replays one more epoch.
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     state = jax.device_get(state)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(state))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     meta = {"epoch": epoch, **(metadata or {})}
-    with open(path + ".meta.json", "w") as f:
+    meta_tmp = path + ".meta.json.tmp"
+    with open(meta_tmp, "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(meta_tmp, path + ".meta.json")
 
 
 def load_checkpoint(path: str, target):

@@ -5,8 +5,9 @@ matmul rate (docs/ARCHITECTURE.md round-4 trace); VERDICT r3 suggested
 channel padding 96->128 ("cheap FLOPs-wise at int8"). But the TPU memory
 layout already lane-pads 96->128 (T(8,128) tiling, 1.33x expansion seen
 in XLA buffer dumps), so the MXU may already be doing 128-lane work and
-the pad would buy nothing. This measures it directly: the flagship-shape
-L0 int8 conv (B=8, 358400 cells/item, the bench grid scale) at
+the pad would buy nothing. This measures it directly: an
+L0 int8 conv at half the bench batch (B=4, 358400 cells/item — the
+per-item grid matches the bench L0 scale; B halved to fit alongside) at
 Cin=Cout=96 vs zero-padded 128, raw conv and the shipped
 `dense_conv_same_int8` (static act_bound epilogue) forms.
 
