@@ -88,6 +88,10 @@ class DataConfig:
     # Static level-0 grid floor (gx, gy, gz): mixed-size datasets pin one
     # grid shape -> one jit executable (see VoxelizeCollate.min_grid_dims)
     min_grid_dims: Optional[tuple] = None
+    # Static level-0 grid PIN (floor AND ceiling): oversized items are
+    # center-cropped to fit, so augmented runs keep ONE train executable
+    # (see VoxelizeCollate.grid_dims_cap)
+    grid_dims_cap: Optional[tuple] = None
     level_cap_ratios: Tuple[float, ...] = (0.5, 0.25, 0.125, 0.0625)
 
 
@@ -163,6 +167,14 @@ class ModelConfig:
     # 0 = dynamic per-channel absmax (the round-3 scheme). Parity gate:
     # tests/test_e2e.py::test_int8_eval_metrics_match_fp32.
     int8_act_sigma: float = 0.0
+    # TPU-specific: run >=96-channel stride-1 BasicBlock stacks through
+    # the fused Pallas int8 block-chain (sparse/pallas_chain.py) — the
+    # InstanceNorm affine, relu, static-bound quantize and residual join
+    # ride inside the conv kernels instead of standalone HBM passes.
+    # Needs int8_stride1 + int8_act_sigma>0; probe-guarded per backend
+    # build. Parity gates: tests/test_pallas_chain.py +
+    # tests/test_e2e.py int8 variants.
+    pallas_chain: bool = False
     # TPU-specific: promise that input features are constant ones (true
     # for every room dataset here — datasets.py builds np.ones features);
     # the dense stem then reads the occupancy grid instead of scattering

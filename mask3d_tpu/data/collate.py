@@ -180,6 +180,7 @@ class VoxelizeCollate:
         instance_bucket_multiple: int = 8,
         num_queries: Optional[int] = None,
         min_grid_dims: Optional[Sequence[int]] = None,
+        grid_dims_cap: Optional[Sequence[int]] = None,
         small_crops: bool = False,
         very_small_crops: bool = False,
         build_targets: bool = True,
@@ -205,6 +206,20 @@ class VoxelizeCollate:
         self.min_grid_dims = (
             tuple(int(d) for d in min_grid_dims) if min_grid_dims else None
         )
+        # Static level-0 grid PIN (floor AND ceiling): items whose voxel
+        # bbox exceeds the cap are center-cropped to fit, so EVERY batch
+        # shares one grid shape — augmented training (±π z-rotations can
+        # inflate a scene's bbox past any unaugmented pin) runs with ONE
+        # train executable instead of minting a ~45-min remote AOT compile
+        # per novel overflow shape (VERDICT r4 item 3). Crop-to-fit rather
+        # than batch-skip: a rotated near-max scene keeps ~all its voxels
+        # (the crop trims corners), instances fully outside the window
+        # drop out of the target set naturally. Rounded up to the
+        # collator's multiple-of-8 bucket at init.
+        self.grid_dims_cap = (
+            tuple(int(-(-int(d) // 8) * 8) for d in grid_dims_cap)
+            if grid_dims_cap else None
+        )
         # Inference/serving mode: skip GT target-mask construction and the
         # raw feature/label row gathers (a serving pipeline has no labels;
         # the A100 baseline's collate estimate counts dedup+collate only).
@@ -212,8 +227,31 @@ class VoxelizeCollate:
         # instance capacity 0.
         self.build_targets = bool(build_targets)
 
+    def _crop_to_cap(self, coords, keep, dims):
+        """Center-crop a voxelized item into the pinned grid window.
+
+        Filtering + per-axis constant shift preserve the lexicographic
+        (x, y, z) sort order `voxelize_item` established, so downstream
+        key-linearization invariants hold unchanged.
+        """
+        cap = np.asarray(self.grid_dims_cap, np.int64)
+        dims64 = np.asarray(dims, np.int64)
+        if np.all(dims64 <= cap):
+            return coords, keep, dims
+        start = np.maximum((dims64 - cap) // 2, 0)
+        end = start + np.minimum(dims64, cap)
+        m = np.all((coords >= start) & (coords < end), axis=1)
+        coords = coords[m] - start.astype(np.int32)
+        keep = keep[m]
+        new_dims = (
+            coords.max(axis=0) + 1 if len(coords) else np.ones(3, np.int64)
+        )
+        return coords, keep, new_dims.astype(np.int32)
+
     def _prepare_item(self, item: dict) -> dict:
         coords, keep, dims = voxelize_item(item["coordinates"])
+        if self.grid_dims_cap is not None:
+            coords, keep, dims = self._crop_to_cap(coords, keep, dims)
         if not self.build_targets:
             return dict(coords=coords, keep=keep, dims=dims, labels=None,
                         meta=None, scene=item["scene"], src=item)
@@ -281,6 +319,10 @@ class VoxelizeCollate:
         d0 = tuple(int(-(-d // 8) * 8) for d in max_d0)
         if self.min_grid_dims is not None:
             d0 = tuple(max(d, m) for d, m in zip(d0, self.min_grid_dims))
+        if self.grid_dims_cap is not None:
+            # Pin: cropped items are guaranteed to fit, so d0 is constant
+            # across EVERY batch of the run (one executable).
+            d0 = self.grid_dims_cap
         grid_dims = [d0]
         for _ in range(4):
             grid_dims.append(

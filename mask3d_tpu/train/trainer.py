@@ -134,6 +134,7 @@ class InstanceSegmentationTrainer:
             instance_bucket_multiple=cfg.data.instance_bucket_multiple,
             num_queries=cfg.model.num_queries,
             min_grid_dims=cfg.data.min_grid_dims,
+            grid_dims_cap=cfg.data.grid_dims_cap,
         )
 
         # --- model/opt state on an example batch ---

@@ -15,19 +15,20 @@
 # (23.95G vs 15.75G HBM, measured 2026-08-20).
 # Auto-resumes from saved/…/r4_datascale/last-epoch.ckpt.
 #
-# volume_augmentations=none: the stru3d preset's +-pi z-rotations (and
-# +-10% scales) enlarge a scene's voxel bbox past ANY unaugmented pin, so
-# each novel overflow shape forces a fresh train_step executable — a
-# ~45-min remote AOT compile per shape on this tunnel (measured: epoch 0
-# compiled once and stepped in ~2 min; epoch 1 hit a rotated-overflow
-# shape and sat in compile). One pinned shape = one compile for the whole
-# run. The augs stay implemented/tested (data/augment.py); at this run's
-# data scale (256 scenes, <=100 epochs) augmentation is not the binding
-# factor for the mAP target.
+# Augmented training with ONE executable (VERDICT r4 item 3):
+# `data.grid_dims_cap` pins the level-0 grid as floor AND ceiling — an
+# augmented scene whose voxel bbox exceeds the pin (the stru3d preset's
+# +-pi z-rotations / +-10% scales can inflate it) is center-cropped to
+# fit by the collator instead of minting a new train executable (each
+# novel shape was a ~45-min remote AOT compile through this tunnel; r4
+# had to disable augmentation entirely). The pin equals the unaugmented
+# per-axis max, so unrotated scenes are untouched and rotated near-max
+# scenes lose only bbox corners.
 set -e
 cd "$(dirname "$0")/.."
 ROOT=data/synth_stru3d
 EPOCHS="${1:-100}"
+RUN_ID="${RUN_ID:-r5_datascale}"
 
 if [ ! -d "$ROOT/scene_00000" ]; then
     python tools/make_synthetic_dataset.py "$ROOT" 256 32 32 0
@@ -53,21 +54,53 @@ EOF
 )
 echo "pinned min_grid_dims=[$GRID]"
 
-exec bash experiment_launch_scripts/experiment1_voxel_size_150_train.sh \
-    data.data_root="$ROOT" \
-    'data.valid_scenes_file_path=null' \
-    "data.min_grid_dims=[$GRID]" \
-    'data.point_bucket_multiple=65536' \
-    'trainer.grad_accum_steps=16' \
-    'data.volume_augmentations=none' \
-    'model.remat_backbone=true' \
-    'optimizer.lr=0.0003' \
-    "trainer.max_epochs=$EPOCHS" \
-    'trainer.check_val_every_n_epoch=5' \
-    'trainer.save_last_every_n_epochs=2' \
-    'trainer.log_every_n_steps=16' \
-    'trainer.train_split_metrics=false' \
-    'general.use_dbscan=false' \
-    'general.scores_threshold=0.0' \
-    'general.export_las=false' \
-    'general.experiment_id=r4_datascale'
+# Supervisor loop (VERDICT r4 "what's weak" 6): bench.py preempts the
+# trainer (SIGTERM via /tmp/rehearsal.pid) whenever the driver measures;
+# auto-resume replays at most the interrupted epoch, but someone must
+# relaunch. Retry until the trainer exits cleanly (reached max_epochs)
+# or fails MAX_RETRIES times in a row within a minute (a real error, not
+# a preemption).
+MAX_RETRIES=200
+tries=0
+while true; do
+    start=$(date +%s)
+    set +e
+    bash experiment_launch_scripts/experiment1_voxel_size_150_train.sh \
+        data.data_root="$ROOT" \
+        'data.valid_scenes_file_path=null' \
+        "data.grid_dims_cap=[$GRID]" \
+        'data.point_bucket_multiple=65536' \
+        'trainer.grad_accum_steps=16' \
+        'data.volume_augmentations=stru3d' \
+        'model.remat_backbone=true' \
+        'optimizer.lr=0.0003' \
+        "trainer.max_epochs=$EPOCHS" \
+        'trainer.check_val_every_n_epoch=5' \
+        'trainer.save_last_every_n_epochs=2' \
+        'trainer.log_every_n_steps=16' \
+        'trainer.train_split_metrics=false' \
+        'general.use_dbscan=false' \
+        'general.scores_threshold=0.0' \
+        'general.export_las=false' \
+        "general.experiment_id=$RUN_ID"
+    rc=$?
+    set -e
+    [ "$rc" -eq 0 ] && { echo "datascale: training complete"; break; }
+    end=$(date +%s)
+    if [ $((end - start)) -lt 60 ]; then
+        tries=$((tries + 1))
+        [ "$tries" -ge "$MAX_RETRIES" ] && {
+            echo "datascale: $MAX_RETRIES fast failures — giving up"; exit 1; }
+    else
+        tries=0
+    fi
+    echo "datascale: trainer exited rc=$rc (preempted?) — relaunching in 90s"
+    sleep 90
+    # Cooperative pause: a TPU-measurement session (bench.py reps, kernel
+    # microbenches) touches /tmp/tpu_pause while it owns the tunnel; the
+    # supervisor waits instead of racing it (ONE TPU process at a time).
+    while [ -e /tmp/tpu_pause ]; do
+        echo "datascale: /tmp/tpu_pause present — waiting 60s"
+        sleep 60
+    done
+done
