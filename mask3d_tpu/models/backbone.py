@@ -343,6 +343,10 @@ class Res16UNetBase(nn.Module):
     # (bound sigma*|gamma|+|beta| per channel) instead of dynamic absmax
     # reduce passes — see `_act_bound` and dense_ops.dense_conv_same_int8.
     int8_act_sigma: float = 0.0
+    # Fused Pallas int8 block-chain (sparse/pallas_chain.py): whole
+    # >=96-ch stride-1 BasicBlock stacks run as conv kernels with the
+    # IN affine / relu / quantize / residual join fused in (probe-guarded).
+    pallas_chain: bool = False
     unit_features: bool = False  # input features promised constant ones
     PLANES: Sequence[int] = (32, 64, 128, 256, 256, 256, 256, 256)
     LAYERS: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2)
@@ -480,7 +484,60 @@ class Res16UNetBase(nn.Module):
             bout,
         )
 
+    def _blocks_fused(self, ctx, stage, x, level_idx, cin, planes, n,
+                      bin_):
+        """Whole-stage fused Pallas int8 chain (`sparse/pallas_chain.py`):
+        numerically the same BasicBlock stack as `_block` on the dense
+        int8 path, with every inter-conv elementwise pass fused into the
+        conv kernels. Param names match `_block` exactly, so checkpoints
+        are interchangeable between the paths."""
+        from mask3d_tpu.sparse import pallas_chain as _pc
+
+        blocks = []
+        for i in range(n):
+            ci = cin if i == 0 else planes
+            name = f"block{stage}_{i}"
+            blk = {"w1": self._kernel(f"{name}_conv1", 27, ci, planes)}
+            blk["g1"], blk["b1"] = self._norm_params(f"{name}_norm1",
+                                                     planes)
+            blk["w2"] = self._kernel(f"{name}_conv2", 27, planes, planes)
+            blk["g2"], blk["b2"] = self._norm_params(f"{name}_norm2",
+                                                     planes)
+            if i == 0 and cin != planes:
+                blk["wd"] = self._kernel(f"{name}_downsample", 1, ci,
+                                         planes)
+                blk["gd"], blk["bd"] = self._norm_params(
+                    f"{name}_downsample_norm", planes)
+            blocks.append(blk)
+        y, bout = _pc.fused_basic_stage(
+            x, bin_, ctx.occ[level_idx], blocks,
+            ctx.grid_dims[level_idx], float(self.int8_act_sigma),
+            interpret=jax.default_backend() != "tpu")
+        if self.compute_dtype is not None:
+            y = y.astype(self.compute_dtype)
+        return y, bout
+
     def _blocks(self, ctx, stage, x, level_idx, cin, planes, n, bin_=None):
+        if (
+            self.pallas_chain
+            and self.impl == "dense"
+            and self.BLOCK == "basic"
+            and not self.SE
+            and getattr(ctx, "int8_l0", False)
+            and self.int8_act_sigma > 0
+            and bin_ is not None
+            and not isinstance(x, dense_ops.QGrid)
+            and min(cin, planes) >= 96
+            and cin <= 128
+            and self.sp_axis is None
+        ):
+            from mask3d_tpu.sparse.pallas_chain import (
+                pallas_chain_available,
+            )
+
+            if pallas_chain_available():
+                return self._blocks_fused(
+                    ctx, stage, x, level_idx, cin, planes, n, bin_)
         block = (
             self._block_bottleneck if self.BLOCK == "bottleneck"
             else self._block

@@ -343,6 +343,9 @@ class Mask3D(nn.Module):
     # affine params (sigma*|gamma|+|beta| bound) instead of dynamic
     # per-conv absmax reduces (see backbone.py::_act_bound).
     int8_act_sigma: float = 0.0
+    # Fused Pallas int8 block-chain for >=96-ch stride-1 block stacks
+    # (sparse/pallas_chain.py; needs int8_stride1 + int8_act_sigma).
+    pallas_chain: bool = False
     # Promise that input features are constant ones (the reference's room
     # configs set add_colors: false, `mask3d/conf/data/indoor.yaml` — every
     # dataset here builds np.ones features). The dense stem then reads the
@@ -398,6 +401,7 @@ class Mask3D(nn.Module):
             int8_stride1=self.int8_stride1 and is_eval,
             int8_residual=self.int8_residual,
             int8_act_sigma=self.int8_act_sigma,
+            pallas_chain=self.pallas_chain,
             unit_features=self.unit_features,
             name="backbone",
         )

@@ -78,6 +78,7 @@ def make_model(cfg: Config) -> Mask3D:
         int8_stride1=cfg.model.int8_stride1,
         int8_residual=cfg.model.int8_residual,
         int8_act_sigma=cfg.model.int8_act_sigma,
+        pallas_chain=cfg.model.pallas_chain,
         unit_features=cfg.model.unit_features,
     )
 
