@@ -86,11 +86,15 @@ def _align(n: int, m: int) -> int:
 
 
 class PackSpec(NamedTuple):
-    """Static geometry of the packed-row layout for one grid level."""
+    """Static geometry of the packed-row layout for one grid level.
+
+    `quantum` fixes the content length (rounded up to a multiple), so
+    kernels over the SAME buffers may use any tile that divides it —
+    e.g. the junction kernel (two bf16 windows) runs at half the tile
+    of the mid kernel to stay under the ~16 MB VMEM budget."""
 
     dims: Tuple[int, int, int]  # unpadded grid (X, Y, Z)
-    tile: int                   # T rows per pallas grid step
-    sub: int                    # rows per inner sub-tile (VMEM sizing)
+    quantum: int                # content-row alignment (max tile)
 
     @property
     def padded(self):
@@ -112,16 +116,12 @@ class PackSpec(NamedTuple):
         return _align(self.reach, 32)
 
     @property
-    def ntiles(self) -> int:
-        return -(-self.rows // self.tile)
+    def content_rows(self) -> int:  # R rounded up to the quantum
+        return _align(self.rows, self.quantum)
 
     @property
     def buf_rows(self) -> int:  # RB
-        return self.ntiles * self.tile + 2 * self.apron
-
-    @property
-    def window(self) -> int:  # rows DMA'd per grid step
-        return self.tile + 2 * self.apron
+        return self.content_rows + 2 * self.apron
 
     def offsets(self) -> Tuple[int, ...]:
         """Row shift per tap, x-major (matches weight ravel order of
@@ -133,13 +133,10 @@ class PackSpec(NamedTuple):
         )
 
 
-def make_pack_spec(grid_dims: Sequence[int], tile: int = 8192,
-                   sub: int = 2048) -> PackSpec:
-    spec = PackSpec(tuple(int(d) for d in grid_dims), int(tile), int(sub))
-    assert spec.tile % spec.sub == 0 and spec.sub % 32 == 0
-    # staging slot parity must be consistent across grid steps
-    assert (spec.tile // spec.sub) % 2 == 0
-    return spec
+def make_pack_spec(grid_dims: Sequence[int],
+                   quantum: int = 8192) -> PackSpec:
+    assert quantum % 32 == 0
+    return PackSpec(tuple(int(d) for d in grid_dims), int(quantum))
 
 
 # ---------------------------------------------------------------- XLA side
@@ -262,7 +259,8 @@ _CA, _CB, _CAR, _CBR, _CINV, _CSW, _CSWD = range(7)
 NCONSTS = 7
 
 
-def _chain_body(spec: PackSpec, offsets, mode: str, res_int8: bool,
+def _chain_body(spec: PackSpec, tile: int, sub: int, offsets, mode: str,
+                res_int8: bool,
                 occ_lane: int, out_lane: int, n_stats: int,
                 consts_ref, w_ref, wd_ref, x_any, res_any, occ_any,
                 raw_any, res_out_any, yq_any, stats_ref,
@@ -279,7 +277,8 @@ def _chain_body(spec: PackSpec, offsets, mode: str, res_int8: bool,
     i = pl.program_id(1)
     nT = pl.num_programs(1)
     nB = pl.num_programs(0)
-    T, A, W, S = spec.tile, spec.apron, spec.window, spec.sub
+    T, A, S = tile, spec.apron, sub
+    W = T + 2 * A
     n_sub = T // S
     lin = b * nT + i
 
@@ -465,6 +464,7 @@ def _chain_body(spec: PackSpec, offsets, mode: str, res_int8: bool,
 
 
 def chain_conv(x_packed, wq, consts, spec: PackSpec, mode: str,
+               tile: int, sub: int,
                res_packed=None, occ_packed=None, wdq=None,
                cout: int = 96, interpret: bool = False):
     """One fused conv kernel over packed rows.
@@ -484,9 +484,13 @@ def chain_conv(x_packed, wq, consts, spec: PackSpec, mode: str,
     assert mode in ("entry", "mid", "junction")
     B, RB, _ = x_packed.shape
     assert RB == spec.buf_rows, (RB, spec.buf_rows)
-    T, A, W, S = spec.tile, spec.apron, spec.window, spec.sub
+    T, A, S = int(tile), spec.apron, int(sub)
+    W = T + 2 * A
+    assert spec.content_rows % T == 0 and T % S == 0 and S % 32 == 0
+    ntiles = spec.content_rows // T
     n_sub = T // S
-    assert n_sub >= 2, "staging double-buffer needs >= 2 sub-tiles"
+    assert n_sub >= 2 and n_sub % 2 == 0, \
+        "staging slot parity needs an even number of sub-tiles"
     offsets = spec.offsets() if wq.shape[0] == 27 else (0,)
     has_second = mode == "entry" and wdq is not None
     n_stats = 4 if has_second else 2
@@ -599,7 +603,7 @@ def chain_conv(x_packed, wq, consts, spec: PackSpec, mode: str,
         stats_ref = outs[o]
 
         _chain_body(
-            spec, offsets, mode, res_int8, cout, cout, n_stats,
+            spec, T, S, offsets, mode, res_int8, cout, cout, n_stats,
             consts_ref, w_ref, wd_ref, x_any, res_any, occ_any,
             raw_any, res_out_any, yq_any, stats_ref,
             win, res_win, occ_win, hq, acc, accd,
@@ -608,7 +612,7 @@ def chain_conv(x_packed, wq, consts, spec: PackSpec, mode: str,
 
     out = pl.pallas_call(
         body,
-        grid=(B, spec.ntiles),
+        grid=(B, ntiles),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -666,7 +670,11 @@ def fused_basic_stage(x, bound_in, occ, blocks, grid_dims,
     cin = x.shape[-1]
     planes = blocks[0]["w1"].shape[-1]
     n = len(blocks)
-    spec = make_pack_spec(grid_dims, tile=tile, sub=sub)
+    spec = make_pack_spec(grid_dims, quantum=tile)
+    # the junction kernel holds TWO double-buffered bf16 windows (raw +
+    # residual); run it at half tile to stay under the ~16 MB VMEM budget
+    kw = dict(tile=tile, sub=sub, interpret=interpret)
+    kw_j = dict(tile=tile // 2, sub=sub // 2, interpret=interpret)
     count = jnp.sum(occ.astype(jnp.float32), axis=(1, 2, 3))[:, 0]
 
     def sig_bound(g, b):
@@ -687,8 +695,7 @@ def fused_basic_stage(x, bound_in, occ, blocks, grid_dims,
             b0["wd"], sx, cin, planes, None, None)
     consts0 = _consts(B, sw=sw1, swd=swd)
     outs = chain_conv(xq_pack, wq1, consts0, spec, "entry",
-                      occ_packed=occ_pack, wdq=wdq, cout=planes,
-                      interpret=interpret)
+                      occ_packed=occ_pack, wdq=wdq, cout=planes, **kw)
     if has_down:
         raw1, res_raw, stats = outs
     else:
@@ -716,7 +723,7 @@ def fused_basic_stage(x, bound_in, occ, blocks, grid_dims,
             blk["w2"], s1, planes, planes, planes, planes)
         consts_m = _consts(B, A=A1, Bc=B1, inv=inv1, sw=sw2)
         raw2, stats2 = chain_conv(raw1, wq2, consts_m, spec, "mid",
-                                  cout=planes, interpret=interpret)
+                                  cout=planes, **kw)
         A2, B2 = in_affine(stats2[:, 0], stats2[:, 1], count,
                            blk["g2"], blk["b2"], planes, eps)
         bound2 = sig_bound(blk["g2"], blk["b2"])
@@ -741,7 +748,7 @@ def fused_basic_stage(x, bound_in, occ, blocks, grid_dims,
                                inv=inv_y, sw=sw1n)
             raw1, yq, stats = chain_conv(
                 raw2, wq1n, consts_j, spec, "junction",
-                res_packed=res_arr, cout=planes, interpret=interpret)
+                res_packed=res_arr, cout=planes, **kw_j)
             # identity residual of the NEXT block = this junction's y
             res_arr = yq
             res_A = jnp.where(jnp.arange(LANES) < planes,
@@ -778,7 +785,7 @@ def pallas_chain_available() -> bool:
 
     def _build():
         dims = (8, 6, 6)
-        spec = make_pack_spec(dims, tile=128, sub=32)
+        spec = make_pack_spec(dims, quantum=128)
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((1,) + dims + (96,)),
                         jnp.bfloat16)
@@ -795,6 +802,7 @@ def pallas_chain_available() -> bool:
             wq, sw = prep_weights_int8(w, sx, 96, 96, None, None)
             consts = _consts(1, sw=sw)
             raw, stats = chain_conv(xq, wq, consts, spec, "entry",
+                                    tile=128, sub=32,
                                     occ_packed=occ_pack, cout=96)
             # one junction probe too (the most complex variant)
             A = jnp.ones((LANES,), jnp.float32)
@@ -803,6 +811,7 @@ def pallas_chain_available() -> bool:
             wq2, sw2 = prep_weights_int8(w, s1, 96, 96, 96, 96)
             cj = _consts(1, A=A, Bc=Bc, Ar=A * 0.01, inv=inv, sw=sw2)
             r2, yq, st2 = chain_conv(raw, wq2, cj, spec, "junction",
+                                     tile=128, sub=32,
                                      res_packed=xq, cout=96)
             return r2[0, 0, 0] + yq[0, 0, 0].astype(jnp.float32)
 

@@ -66,7 +66,7 @@ SPEC_KW = dict(tile=256, sub=64)
 def test_pack_roundtrip():
     rng = np.random.default_rng(0)
     x, _ = make_grid(rng, c=17)
-    spec = pc.make_pack_spec(x.shape[1:4], **SPEC_KW)
+    spec = pc.make_pack_spec(x.shape[1:4], quantum=SPEC_KW["tile"])
     buf = pc.pack_grid(x, spec)
     back = pc.unpack_grid(buf, spec, 17)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
@@ -106,7 +106,7 @@ def test_entry_kernel_bitexact_vs_xla_int8():
     bound = jnp.asarray(np.abs(rng.standard_normal(cin)).astype(np.float32)
                         + 0.5)
     blocks = make_blocks(rng, cin, planes, 1)
-    spec = pc.make_pack_spec(x.shape[1:4], **SPEC_KW)
+    spec = pc.make_pack_spec(x.shape[1:4], quantum=SPEC_KW["tile"])
 
     xq, sx = pc.quantize_pack(x, bound, occ, spec)
     occ_pack = pc.pack_grid(
@@ -119,7 +119,7 @@ def test_entry_kernel_bitexact_vs_xla_int8():
     consts = pc._consts(x.shape[0], sw=sw1, swd=swd)
     raw1, res_raw, stats = pc.chain_conv(
         xq, wq1, consts, spec, "entry", occ_packed=occ_pack, wdq=wdq,
-        cout=planes, interpret=True)
+        cout=planes, interpret=True, **SPEC_KW)
 
     ref1 = dense_ops.dense_conv_same_int8(
         x, blocks[0]["w1"], occ, out_dtype=jnp.bfloat16, act_bound=bound)
