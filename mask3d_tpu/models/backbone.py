@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -513,9 +514,9 @@ class Res16UNetBase(nn.Module):
             x, bin_, ctx.occ[level_idx], blocks,
             ctx.grid_dims[level_idx], float(self.int8_act_sigma),
             interpret=jax.default_backend() != "tpu")
-        if self.compute_dtype is not None:
-            y = y.astype(self.compute_dtype)
-        return y, bout
+        # the kernels emit bf16 raws; downstream ops expect the model's
+        # compute dtype (f32 when unset)
+        return y.astype(self.compute_dtype or jnp.float32), bout
 
     def _blocks(self, ctx, stage, x, level_idx, cin, planes, n, bin_=None):
         if (
@@ -529,13 +530,14 @@ class Res16UNetBase(nn.Module):
             and not isinstance(x, dense_ops.QGrid)
             and min(cin, planes) >= 96
             and cin <= 128
+            and planes < 128  # the occ channel needs a spare lane
             and self.sp_axis is None
         ):
-            from mask3d_tpu.sparse.pallas_chain import (
-                pallas_chain_available,
-            )
+            from mask3d_tpu.sparse import pallas_chain as _pc
 
-            if pallas_chain_available():
+            gd = ctx.grid_dims[level_idx]
+            rows = (gd[0] + 4) * (gd[1] + 2) * (gd[2] + 2)
+            if rows >= _pc.MIN_ROWS and _pc.pallas_chain_available():
                 return self._blocks_fused(
                     ctx, stage, x, level_idx, cin, planes, n, bin_)
         block = (

@@ -79,6 +79,11 @@ LANES = 128
 # never reaches outside the content region (reach < 2*YP*ZP): the apron
 # and the tail stay write-only garbage that interior outputs never read.
 PX, PY, PZ = 2, 1, 1
+# Smallest grid (padded rows) worth routing through the fused chain: the
+# quantum-aligned buffers waste up to `tile` rows of padding, so tiny
+# coarse-level grids (e.g. the 1/16-stride encoder stage) stay on the
+# unfused XLA path. Tests monkeypatch this to 0.
+MIN_ROWS = 16384
 
 
 def _align(n: int, m: int) -> int:
@@ -508,7 +513,7 @@ def chain_conv(x_packed, wq, consts, spec: PackSpec, mode: str,
     out_shapes.append(
         jax.ShapeDtypeStruct((B, n_stats, LANES), jnp.float32))
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     in_specs = [
         pl.BlockSpec(
             (1, NCONSTS, LANES), lambda b, i: (b, 0, 0),
@@ -669,6 +674,8 @@ def fused_basic_stage(x, bound_in, occ, blocks, grid_dims,
     B = x.shape[0]
     cin = x.shape[-1]
     planes = blocks[0]["w1"].shape[-1]
+    assert planes < LANES, "occupancy needs a spare lane beyond cout"
+    assert cin <= LANES
     n = len(blocks)
     spec = make_pack_spec(grid_dims, quantum=tile)
     # the junction kernel holds TWO double-buffered bf16 windows (raw +

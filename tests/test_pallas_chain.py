@@ -208,3 +208,69 @@ def test_fused_stage_empty_item():
         **SPEC_KW)
     assert float(jnp.abs(y[1]).max()) == 0.0
     assert np.isfinite(np.asarray(y, np.float32)).all()
+
+
+def test_backbone_routing_matches_unfused(monkeypatch):
+    """End-to-end model integration: with `model.pallas_chain` the
+    >=96-ch stride-1 stages route through the fused chain (MIN_ROWS
+    forced to 0 so the small test grids qualify) and the eval forward
+    matches the unfused int8 path within quantize tolerance. Also
+    certifies param-name identity (same state drives both paths)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_e2e import small_config
+    from mask3d_tpu.data import VoxelizeCollate, make_synthetic_scene
+    from mask3d_tpu.train.loop import init_state, make_eval_step
+
+    monkeypatch.setattr(pc, "MIN_ROWS", 0)
+
+    rng = np.random.default_rng(11)
+    items = [
+        make_synthetic_scene(rng, num_rooms_x=2, num_rooms_y=1,
+                             room_size=12, height=6, jitter=0.0,
+                             dropout=0.5)
+        for _ in range(2)
+    ]
+    batch = VoxelizeCollate(point_bucket_multiple=512)(items).device
+
+    cfg = small_config()
+    # 18A: stage 8 has TWO blocks -> the junction kernel is exercised
+    from mask3d_tpu.config import apply_overrides
+    apply_overrides(cfg, [
+        "model.backbone=Res16UNet18A",
+        "model.backbone_impl=dense",
+        "model.int8_stride1=true",
+        "model.int8_act_sigma=10",
+        # int8 junction outputs: the unfused comparison path quantizes
+        # intermediate block outputs exactly like the fused junction
+        # kernel does, so the remaining delta is only the f32-vs-bf16
+        # affine constants + stats accumulation order
+        "model.int8_residual=true",
+    ])
+    state, model, criterion, _ = init_state(cfg, batch)
+    ev = make_eval_step(cfg, model, criterion)
+    pc_ref, pm_ref, _ = ev(state, batch)
+
+    cfg2 = small_config()
+    apply_overrides(cfg2, [
+        "model.backbone=Res16UNet18A",
+        "model.backbone_impl=dense",
+        "model.int8_stride1=true",
+        "model.int8_act_sigma=10",
+        "model.int8_residual=true",
+        "model.pallas_chain=true",
+    ])
+    _, model2, criterion2, _ = init_state(cfg2, batch)
+    ev2 = make_eval_step(cfg2, model2, criterion2)
+    pc_got, pm_got, _ = ev2(state, batch)  # SAME params: names identical
+
+    a, b = np.asarray(pc_ref, np.float32), np.asarray(pc_got, np.float32)
+    m1, m2 = np.asarray(pm_ref, np.float32), np.asarray(pm_got, np.float32)
+    assert np.isfinite(b).all() and np.isfinite(m2).all()
+    # int8 quantize-boundary flips in the fused stage perturb logits a
+    # little; class/mask predictions must stay strongly correlated
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    mcorr = np.corrcoef(m1.ravel(), m2.ravel())[0, 1]
+    assert corr > 0.999 and mcorr > 0.995, (corr, mcorr)
+    np.testing.assert_allclose(
+        np.argmax(a, -1), np.argmax(b, -1))
