@@ -1,0 +1,193 @@
+"""Oracle tests: bricked level-0 execution vs the dense-grid path.
+
+Every brick op must match its `dense_ops` counterpart bit-for-bit
+(same lax.conv dtype/accumulation): the dense path is the measured
+parity oracle (CLAUDE.md architecture invariants).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mask3d_tpu.sparse import brick_ops, dense_ops
+from mask3d_tpu.sparse.core import SparseLevel
+
+
+GRID = (32, 16, 8)
+BRICK = (8, 8, 4)
+
+
+def _mk_level(rng, n=180, cap=256, occupy_all=False):
+    """Random occupied cells (unique), capacity-padded like the collator."""
+    cells = GRID[0] * GRID[1] * GRID[2]
+    keys = rng.choice(cells, size=min(n, cells), replace=False)
+    keys.sort()
+    cx = keys // (GRID[1] * GRID[2])
+    cy = (keys // GRID[2]) % GRID[1]
+    cz = keys % GRID[2]
+    coords = np.stack([cx, cy, cz], 1).astype(np.int32)
+    return _level_of(coords, cap, GRID, stride=1), len(keys)
+
+
+def _level_of(coords, cap, dims, stride):
+    n = len(coords)
+    keys = ((coords[:, 0] * dims[1] + coords[:, 1]) * dims[2]
+            + coords[:, 2]).astype(np.int32)
+    pad = cap - n
+    coords = np.concatenate([coords, np.zeros((pad, 3), np.int32)])
+    keys = np.concatenate(
+        [keys, np.full(pad, np.iinfo(np.int32).max, np.int32)])
+    valid = np.arange(cap) < n
+    return SparseLevel(
+        key=jnp.asarray(keys[None]),
+        coords=jnp.asarray(coords[None]),
+        valid=jnp.asarray(valid[None]),
+        count=jnp.asarray([n], jnp.int32),
+        dims=jnp.asarray(np.asarray(dims)[None], jnp.int32),
+        stride=stride,
+    )
+
+
+def _setup(seed=0, c=6):
+    rng = np.random.default_rng(seed)
+    level, n = _mk_level(rng)
+    spec = brick_ops.make_brick_spec(GRID, BRICK, capacity=64)
+    tables = brick_ops.build_tables(level, spec)
+    feats = jnp.asarray(
+        rng.standard_normal((1, level.valid.shape[1], c)).astype(np.float32)
+    )
+    feats = jnp.where(level.valid[..., None], feats, 0)
+    return rng, level, spec, tables, feats
+
+
+def _dense_of(feats, level):
+    return dense_ops.scatter_rows(feats, level, GRID)
+
+
+def test_tables_and_roundtrip():
+    rng, level, spec, tables, feats = _setup()
+    assert not bool(tables.overflow)
+    bricks = brick_ops.scatter_rows(feats, tables, spec)
+    # sentinel slot stays zero
+    assert float(jnp.abs(bricks[spec.capacity]).max()) == 0.0
+    rows = brick_ops.gather_rows(bricks, tables, spec, level.valid)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(feats))
+    # brick layout agrees with the dense grid cell for cell
+    dense = _dense_of(feats, level)
+    ds = brick_ops.slots_to_dense(
+        bricks[: spec.capacity], tables, spec)[:, : GRID[0], : GRID[1],
+                                               : GRID[2]]
+    np.testing.assert_array_equal(np.asarray(ds), np.asarray(dense))
+
+
+def test_overflow_flag():
+    rng = np.random.default_rng(1)
+    level, _ = _mk_level(rng, n=200)
+    spec = brick_ops.make_brick_spec(GRID, BRICK, capacity=4)
+    tables = brick_ops.build_tables(level, spec)
+    assert bool(tables.overflow)
+
+
+def test_halo_pad_matches_dense_neighborhood():
+    rng, level, spec, tables, feats = _setup()
+    bricks = brick_ops.scatter_rows(feats, tables, spec)
+    padded = brick_ops.halo_pad(bricks, tables, spec, h=1)
+    dense = np.asarray(_dense_of(feats, level))[0]
+    dpad = np.pad(dense, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    sk = np.asarray(tables.slot_key)
+    sx, sy, sz = spec.slots
+    for slot in range(int(np.asarray(tables.brick_ok).sum())):
+        px, py, pz = (sk[slot] // (sy * sz), (sk[slot] // sz) % sy,
+                      sk[slot] % sz)
+        x0, y0, z0 = px * BRICK[0], py * BRICK[1], pz * BRICK[2]
+        want = dpad[x0: x0 + BRICK[0] + 2, y0: y0 + BRICK[1] + 2,
+                    z0: z0 + BRICK[2] + 2]
+        np.testing.assert_array_equal(np.asarray(padded[slot]), want)
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_conv_same_matches_dense(k):
+    rng, level, spec, tables, feats = _setup()
+    c, co = feats.shape[-1], 5
+    w = jnp.asarray(
+        rng.standard_normal((k**3, c, co)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(rng.standard_normal(co).astype(np.float32))
+    occ_d = dense_ops.occupancy(level, GRID)
+    occ_b = brick_ops.occupancy(tables, spec, level.valid)
+    want = dense_ops.dense_conv_same(
+        _dense_of(feats, level), w, occ_d, bias=bias)
+    bricks = brick_ops.scatter_rows(feats, tables, spec)
+    got = brick_ops.conv_same(bricks, w, occ_b, tables, spec, bias=bias)
+    got_rows = brick_ops.gather_rows(got, tables, spec, level.valid)
+    want_rows = dense_ops.gather_rows(want, level, GRID)
+    np.testing.assert_allclose(
+        np.asarray(got_rows), np.asarray(want_rows), rtol=1e-5, atol=1e-5)
+
+
+def test_conv_down_matches_dense():
+    rng, level, spec, tables, feats = _setup()
+    c, co = feats.shape[-1], 7
+    w = jnp.asarray(
+        rng.standard_normal((8, c, co)).astype(np.float32) * 0.3)
+    coarse_dims = tuple(g // 2 for g in GRID)
+    lvl1, _ = _mk_coarse(level, coarse_dims)
+    occ1 = dense_ops.occupancy(lvl1, coarse_dims)
+    want = dense_ops.dense_conv_down(_dense_of(feats, level), w, occ1)
+    bricks = brick_ops.scatter_rows(feats, tables, spec)
+    got = brick_ops.conv_down(bricks, w, occ1, tables, spec, coarse_dims)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def _mk_coarse(level, coarse_dims):
+    """Coarse level = parent cells of the fine rows (np.unique order)."""
+    c = np.asarray(level.coords[0])[np.asarray(level.valid[0])] // 2
+    keys = (c[:, 0] * coarse_dims[1] + c[:, 1]) * coarse_dims[2] + c[:, 2]
+    uk = np.unique(keys)
+    cx = uk // (coarse_dims[1] * coarse_dims[2])
+    cy = (uk // coarse_dims[2]) % coarse_dims[1]
+    cz = uk % coarse_dims[2]
+    coords = np.stack([cx, cy, cz], 1).astype(np.int32)
+    cap = level.valid.shape[1]
+    return _level_of(coords, cap, coarse_dims, stride=2), len(uk)
+
+
+def test_conv_tr_matches_dense():
+    rng, level, spec, tables, feats = _setup()
+    co = 4
+    coarse_dims = tuple(g // 2 for g in GRID)
+    lvl1, n1 = _mk_coarse(level, coarse_dims)
+    cfeats = jnp.asarray(
+        rng.standard_normal(
+            (1, lvl1.valid.shape[1], feats.shape[-1])).astype(np.float32))
+    cfeats = jnp.where(lvl1.valid[..., None], cfeats, 0)
+    cdense = dense_ops.scatter_rows(cfeats, lvl1, coarse_dims)
+    w = jnp.asarray(
+        rng.standard_normal((8, feats.shape[-1], co)).astype(np.float32)
+        * 0.3)
+    occ_d = dense_ops.occupancy(level, GRID)
+    occ_b = brick_ops.occupancy(tables, spec, level.valid)
+    want = dense_ops.dense_conv_tr(cdense, w, occ_d)
+    got = brick_ops.conv_tr(cdense, w, occ_b, tables, spec)
+    got_rows = brick_ops.gather_rows(got, tables, spec, level.valid)
+    want_rows = dense_ops.gather_rows(want, level, GRID)
+    np.testing.assert_allclose(
+        np.asarray(got_rows), np.asarray(want_rows), rtol=1e-5, atol=1e-5)
+
+
+def test_instance_norm_matches_dense():
+    rng, level, spec, tables, feats = _setup()
+    c = feats.shape[-1]
+    g = jnp.asarray(1 + 0.2 * rng.standard_normal(c).astype(np.float32))
+    b = jnp.asarray(0.1 * rng.standard_normal(c).astype(np.float32))
+    occ_d = dense_ops.occupancy(level, GRID)
+    occ_b = brick_ops.occupancy(tables, spec, level.valid)
+    want = dense_ops.dense_instance_norm(
+        _dense_of(feats, level), occ_d, g, b)
+    bricks = brick_ops.scatter_rows(feats, tables, spec)
+    got = brick_ops.instance_norm(bricks, occ_b, g, b)
+    got_rows = brick_ops.gather_rows(got, tables, spec, level.valid)
+    want_rows = dense_ops.gather_rows(want, level, GRID)
+    np.testing.assert_allclose(
+        np.asarray(got_rows), np.asarray(want_rows), rtol=1e-5, atol=1e-5)
