@@ -172,6 +172,14 @@ def main(batch_size: int = 8):
         # Parity: tests/test_e2e.py::test_int8_eval_metrics_match_fp32
         # (int8-residual variant).
         "model.int8_residual=true",
+        # NOT enabled: model.pallas_chain (the fused Pallas int8
+        # block-chain, sparse/pallas_chain.py). Measured end-to-end
+        # 2026-08-20: 2.53M pts/s vs 3.71M without (fetch 105 vs 78
+        # ms/batch) — the kernel's 27 separate K=128 int8 dots run at
+        # ~half the int8 MXU rate while XLA's implicit-GEMM conv
+        # contracts K=27*128 at full rate, so the fused elementwise
+        # savings (~15 ms) are outweighed by the conv slowdown. See
+        # docs/ARCHITECTURE.md "pallas_chain" for the ledger.
         # Features are constant ones here (reference indoor.yaml
         # add_colors: false): the dense stem reads the occupancy grid
         # instead of re-scattering identical rows (exact).

@@ -127,6 +127,12 @@ class ModelConfig:
     # gather-matmul (general fallback); "gather_pallas": gather path with the
     # windowed Pallas conv kernel (large scenes whose grid won't fit densely)
     backbone_impl: str = "dense"
+    # TPU-specific (backbone_impl=bricked): level-0 grid as occupied
+    # dense bricks — the dense executor for scans whose level-0 grid
+    # exceeds HBM (sparse/brick_ops.py). Brick shape must divide the
+    # bucketed grid dims; capacity pads the occupied-brick count.
+    brick_dims: Sequence[int] = (16, 16, 8)
+    brick_capacity: int = 8192
     conv1_kernel_size: int = 5
     bn_momentum: float = 0.02
     # TPU-specific: bf16 compute in the backbone matmuls

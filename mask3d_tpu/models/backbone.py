@@ -321,6 +321,129 @@ class _DenseCtx:
         return s / cnt
 
 
+class _BrickCtx:
+    """Bricked execution: level 0 as occupied dense bricks
+    (`sparse/brick_ops.py`), every coarser level as a full dense grid.
+
+    The dense path's executor for scans whose LEVEL-0 grid exceeds HBM
+    (only level 0 can: stride-2 shrinks cells 8x) — same submanifold
+    semantics, oracle-tested against `_DenseCtx` op for op. B=1 (the
+    serving shape at this scale). Reference capability: MinkowskiEngine
+    arbitrary-size scenes (`mask3d/models/res16unet.py` runs any point
+    count); see tools/bench_large_scene.py for the measured A/B vs the
+    gather paths."""
+
+    def __init__(self, sb: SparseBatch, grid_dims, compute_dtype,
+                 brick_dims=(16, 16, 8), brick_capacity: int = 8192):
+        from mask3d_tpu.sparse import brick_ops
+
+        assert sb.levels[0].batch_size == 1, "bricked execution is B=1"
+        self.bo = brick_ops
+        self.sb = sb
+        self.dt = compute_dtype
+        self.int8_l0 = False  # int8/QGrid fast paths are dense-impl knobs
+        self.int8_sigma = 0.0
+        self.int8_res = False
+        self.grid_dims = list(grid_dims)
+        self.spec = brick_ops.make_brick_spec(
+            grid_dims[0], brick_dims, brick_capacity)
+        self.tables = brick_ops.build_tables(sb.levels[0], self.spec)
+        self.occ_b = brick_ops.occupancy(
+            self.tables, self.spec, sb.levels[0].valid)
+        have_occ = len(sb.occ) == len(sb.levels)
+        self.occ = [None] + [
+            sb.occ[li] if have_occ
+            else dense_ops.occupancy(sb.levels[li], self.grid_dims[li])
+            for li in range(1, len(sb.levels))
+        ]
+
+    def scatter(self, feats_rows, level_idx):
+        if level_idx == 0:
+            return self.bo.scatter_rows(feats_rows, self.tables, self.spec)
+        return dense_ops.scatter_rows(
+            feats_rows, self.sb.levels[level_idx], self.grid_dims[level_idx]
+        )
+
+    def conv_in(self, x, w, b):
+        return self.bo.conv_same(
+            x, w, self.occ_b, self.tables, self.spec, bias=b,
+            compute_dtype=self.dt)
+
+    def _int8_bound(self, bound):
+        return None
+
+    def conv3(self, x, w, level_idx, b=None, bound=None):
+        del bound
+        if level_idx == 0:
+            return self.bo.conv_same(
+                x, w, self.occ_b, self.tables, self.spec, bias=b,
+                compute_dtype=self.dt)
+        return dense_ops.dense_conv_same(
+            x, w, self.occ[level_idx], bias=b, compute_dtype=self.dt)
+
+    def conv_down(self, x, w, fine_idx):
+        if fine_idx == 0:
+            return self.bo.conv_down(
+                x, w, self.occ[1], self.tables, self.spec,
+                tuple(int(d) for d in self.grid_dims[1]),
+                compute_dtype=self.dt)
+        return dense_ops.dense_conv_down(
+            x, w, self.occ[fine_idx + 1], compute_dtype=self.dt)
+
+    def conv_tr(self, x, w, coarse_idx):
+        if coarse_idx == 1:
+            return self.bo.conv_tr(
+                x, w, self.occ_b, self.tables, self.spec,
+                compute_dtype=self.dt)
+        return dense_ops.dense_conv_tr(
+            x, w, self.occ[coarse_idx - 1], compute_dtype=self.dt)
+
+    def norm(self, x, gamma, beta, level_idx):
+        if level_idx == 0:
+            return self.bo.instance_norm(x, self.occ_b, gamma, beta)
+        return dense_ops.dense_instance_norm(
+            x, self.occ[level_idx], gamma, beta)
+
+    def conv1x1(self, x, w, level_idx, bound=None):
+        del bound
+        xc = x if self.dt is None else x.astype(self.dt)
+        out = jnp.dot(
+            xc, w[0].astype(xc.dtype), preferred_element_type=jnp.float32
+        ).astype(xc.dtype)
+        if level_idx == 0:
+            # zeros in -> zeros out for a 1x1 (no bias), sentinel included
+            return out
+        return out * self.occ[level_idx].astype(out.dtype)
+
+    def cat(self, a, b):
+        return jnp.concatenate([a, b], axis=-1)
+
+    def block_join(self, out, residual, level_idx, bound=None,
+                   want_q=False):
+        del level_idx, bound, want_q
+        return nn.relu(out + residual)
+
+    def rows(self, x, level_idx):
+        if level_idx == 0:
+            return self.bo.gather_rows(
+                x, self.tables, self.spec, self.sb.levels[0].valid)
+        return dense_ops.gather_rows(
+            x, self.sb.levels[level_idx], self.grid_dims[level_idx])
+
+    def global_mean(self, x, level_idx):
+        if level_idx == 0:
+            occ = self.occ_b.astype(x.dtype)
+            s = jnp.sum(x * occ, axis=(0, 1, 2, 3), keepdims=False)
+            cnt = jnp.maximum(jnp.sum(occ), 1)
+            # [1, 1, 1, 1, C] per-item mean (B == 1)
+            return (s / cnt)[None, None, None, None, :]
+        occ = self.occ[level_idx]
+        s = jnp.sum(x * occ.astype(x.dtype), axis=(1, 2, 3), keepdims=True)
+        cnt = jnp.maximum(
+            jnp.sum(occ.astype(x.dtype), axis=(1, 2, 3), keepdims=True), 1)
+        return s / cnt
+
+
 class Res16UNetBase(nn.Module):
     """Res16UNet encoder/decoder over a 5-level sparse pyramid.
 
@@ -332,7 +455,9 @@ class Res16UNetBase(nn.Module):
     in_channels: int = 1
     conv1_kernel_size: int = 5
     compute_dtype: Optional[Dtype] = None
-    impl: str = "gather"  # "gather" | "gather_pallas" | "dense"
+    impl: str = "gather"  # "gather" | "gather_pallas" | "dense" | "bricked"
+    brick_dims: Sequence[int] = (16, 16, 8)  # bricked impl: brick shape
+    brick_capacity: int = 8192  # bricked impl: max occupied bricks
     pallas_select: str = "onehot"  # windowed-conv selection (pallas_conv)
     pallas_window_mode: str = "per_offset"  # windowed-conv DMA schedule
     sp_axis: Optional[str] = None  # sequence-parallel mesh axis (dense impl)
@@ -582,6 +707,14 @@ class Res16UNetBase(nn.Module):
                 x = ctx.occ[0].astype(feats.dtype)
             else:
                 x = ctx.scatter(feats, 0)
+        elif self.impl == "bricked":
+            assert grid_dims is not None, "bricked impl needs static dims"
+            ctx = _BrickCtx(sb, grid_dims, self.compute_dtype,
+                            brick_dims=tuple(self.brick_dims),
+                            brick_capacity=self.brick_capacity)
+            x = (ctx.occ_b.astype(feats.dtype)
+                 if self.unit_features and self.in_channels == 1
+                 else ctx.scatter(feats, 0))
         else:
             ctx = _GatherCtx(sb, self.compute_dtype,
                              use_pallas=self.impl == "gather_pallas",

@@ -310,7 +310,9 @@ class Mask3D(nn.Module):
     max_sample_size: bool = False
     shared_decoder: bool = True
     backbone_name: str = "Res16UNet34C"
-    backbone_impl: str = "gather"  # "gather" | "dense" (see backbone.py)
+    backbone_impl: str = "gather"  # gather|gather_pallas|dense|bricked
+    brick_dims: Sequence[int] = (16, 16, 8)  # bricked impl brick shape
+    brick_capacity: int = 8192  # bricked impl max occupied bricks
     pallas_conv_select: str = "onehot"  # windowed-conv selection mechanism
     pallas_window_mode: str = "per_offset"  # windowed-conv DMA schedule
     in_channels: int = 1
@@ -395,6 +397,8 @@ class Mask3D(nn.Module):
             conv1_kernel_size=self.conv1_kernel_size,
             compute_dtype=self.compute_dtype,
             impl=self.backbone_impl,
+            brick_dims=tuple(self.brick_dims),
+            brick_capacity=self.brick_capacity,
             pallas_select=self.pallas_conv_select,
             pallas_window_mode=self.pallas_window_mode,
             sp_axis=self.sp_axis,

@@ -221,6 +221,26 @@ def prep_weights_int8(weight, act_scale, cin: int, cout: int,
     return full, sw_full
 
 
+def pair_weights(wq):
+    """[27, 128, 128] int8 -> [14, 256, 128]: stack taps (2p, 2p+1) on the
+    contraction axis so each kernel dot contracts K=256 (`kdepth=2`).
+
+    MEASURED DEAD END on v5e (tools/bench_chain.py 2026-08-21, flagship
+    stage-8 shape): 169.9 ms vs 78.4 ms for the unpaired K=128 dots
+    (0.65x vs the XLA int8 stage). The hypothesis was that the int8 MXU
+    needs >= 256-deep contractions for its full rate; in practice the
+    pair staging dominates — Mosaic rejects a direct lane-concat of two
+    window slices whose sublane offsets differ ("offset mismatch on
+    non-concat dimension"), and the scratch-buffer staging (two stores +
+    one load per pair, `pair_buf` in `_chain_body`) compiles to
+    relayout-heavy VPU copies that cost more than the dots save. Kept
+    behind `kdepth=2` (default 1) with interpret-mode parity coverage."""
+    k = wq.shape[0]
+    assert k == 27, k
+    pad = jnp.concatenate([wq, jnp.zeros((1,) + wq.shape[1:], wq.dtype)])
+    return pad.reshape(14, 2 * LANES, LANES)
+
+
 def in_affine(stats_sum, stats_sq, count, gamma, beta, cout: int,
               eps: float = 1e-5):
     """InstanceNorm affine consts from kernel-accumulated masked stats.
@@ -269,7 +289,7 @@ def _chain_body(spec: PackSpec, tile: int, sub: int, offsets, mode: str,
                 occ_lane: int, out_lane: int, n_stats: int,
                 consts_ref, w_ref, wd_ref, x_any, res_any, occ_any,
                 raw_any, res_out_any, yq_any, stats_ref,
-                win, res_win, occ_win, hq, acc, accd,
+                win, res_win, occ_win, hq, pair_buf, acc, accd,
                 stage_raw, stage_res, stage_yq,
                 sem_in, sem_res, sem_occ, sem_raw, sem_resout, sem_yq):
     """One grid step (b, i): T output rows via n_sub sub-tiles.
@@ -405,19 +425,40 @@ def _chain_body(spec: PackSpec, tile: int, sub: int, offsets, mode: str,
             src = None
             tap_base = A
 
-        # 27 accumulated int8 MXU dots
-        for k, off in enumerate(offsets):
+        def tap(off):
             if mode == "entry":
-                a_k = win[cur][tap_base + off: tap_base + off + S]
-            else:
-                a_k = hq[tap_base + off: tap_base + off + S]
-            d = jax.lax.dot_general(
-                a_k, w_ref[k], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            if k == 0:
-                acc[:] = d
-            else:
-                acc[:] += d
+                return win[cur][tap_base + off: tap_base + off + S]
+            return hq[tap_base + off: tap_base + off + S]
+
+        if w_ref.shape[1] == 2 * LANES:
+            # 14 K=256 int8 MXU dots over tap PAIRS (`pair_weights`): the
+            # int8 MXU needs >= 256-deep contractions for its full rate.
+            # The pair is staged through a [S, 256] VMEM scratch (two
+            # lane-block stores + one load) — a direct tpu.concatenate of
+            # two window slices is rejected by Mosaic when their sublane
+            # offsets differ ("offset mismatch on non-concat dimension").
+            for p in range(w_ref.shape[0]):
+                pair_buf[:, :LANES] = tap(offsets[2 * p])
+                pair_buf[:, LANES:] = tap(
+                    offsets[min(2 * p + 1, len(offsets) - 1)])
+                d = jax.lax.dot_general(
+                    pair_buf[:], w_ref[p], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                if p == 0:
+                    acc[:] = d
+                else:
+                    acc[:] += d
+        else:
+            # 27 accumulated int8 MXU dots
+            for k, off in enumerate(offsets):
+                a_k = tap(off)
+                d = jax.lax.dot_general(
+                    a_k, w_ref[k], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                if k == 0:
+                    acc[:] = d
+                else:
+                    acc[:] += d
 
         accf = acc[:].astype(jnp.float32)
         if mode == "entry":
@@ -471,7 +512,8 @@ def _chain_body(spec: PackSpec, tile: int, sub: int, offsets, mode: str,
 def chain_conv(x_packed, wq, consts, spec: PackSpec, mode: str,
                tile: int, sub: int,
                res_packed=None, occ_packed=None, wdq=None,
-               cout: int = 96, interpret: bool = False):
+               cout: int = 96, interpret: bool = False,
+               kdepth: int = 1):
     """One fused conv kernel over packed rows.
 
     x_packed: [B, RB, 128] — int8 quantized input ("entry") or bf16 raw
@@ -497,6 +539,9 @@ def chain_conv(x_packed, wq, consts, spec: PackSpec, mode: str,
     assert n_sub >= 2 and n_sub % 2 == 0, \
         "staging slot parity needs an even number of sub-tiles"
     offsets = spec.offsets() if wq.shape[0] == 27 else (0,)
+    paired = kdepth == 2 and wq.shape[0] == 27
+    if paired:
+        wq = pair_weights(wq)
     has_second = mode == "entry" and wdq is not None
     n_stats = 4 if has_second else 2
     res_int8 = res_packed is not None and res_packed.dtype == jnp.int8
@@ -546,6 +591,8 @@ def chain_conv(x_packed, wq, consts, spec: PackSpec, mode: str,
          if mode == "entry" else None),                        # occ_win
         (pltpu.VMEM((S + 2 * A, LANES), jnp.int8)
          if mode != "entry" else None),                        # hq
+        (pltpu.VMEM((S, 2 * LANES), jnp.int8)
+         if paired else None),                                 # pair_buf
         pltpu.VMEM((S, LANES), jnp.int32),                     # acc
         (pltpu.VMEM((S, LANES), jnp.int32)
          if has_second else None),                             # accd
@@ -575,9 +622,9 @@ def chain_conv(x_packed, wq, consts, spec: PackSpec, mode: str,
         full_scr = [None] * len(scratch)
         for j, idx in enumerate(live):
             full_scr[idx] = scr[j]
-        (win, res_win, occ_win, hq, acc, accd, stage_raw, stage_res,
-         stage_yq, sem_in, sem_res, sem_occ, sem_raw, sem_resout,
-         sem_yq) = full_scr
+        (win, res_win, occ_win, hq, pair_buf, acc, accd, stage_raw,
+         stage_res, stage_yq, sem_in, sem_res, sem_occ, sem_raw,
+         sem_resout, sem_yq) = full_scr
 
         consts_ref = ins[0]
         w_ref = ins[1]
@@ -611,7 +658,7 @@ def chain_conv(x_packed, wq, consts, spec: PackSpec, mode: str,
             spec, T, S, offsets, mode, res_int8, cout, cout, n_stats,
             consts_ref, w_ref, wd_ref, x_any, res_any, occ_any,
             raw_any, res_out_any, yq_any, stats_ref,
-            win, res_win, occ_win, hq, acc, accd,
+            win, res_win, occ_win, hq, pair_buf, acc, accd,
             stage_raw, stage_res, stage_yq,
             sem_in, sem_res, sem_occ, sem_raw, sem_resout, sem_yq)
 
@@ -656,7 +703,7 @@ def _consts(B, A=None, Bc=None, Ar=None, Br=None, inv=None, sw=None,
 def fused_basic_stage(x, bound_in, occ, blocks, grid_dims,
                       sigma: float, eps: float = 1e-5,
                       tile: int = 8192, sub: int = 2048,
-                      interpret: bool = False):
+                      interpret: bool = False, kdepth: int = 1):
     """Run a stack of BasicBlocks (stride-1, one grid level) through the
     fused kernel chain. Semantics mirror `Res16UNetBase._block` on the
     dense int8 path (static-sigma activation bounds, int8 residual
@@ -680,8 +727,9 @@ def fused_basic_stage(x, bound_in, occ, blocks, grid_dims,
     spec = make_pack_spec(grid_dims, quantum=tile)
     # the junction kernel holds TWO double-buffered bf16 windows (raw +
     # residual); run it at half tile to stay under the ~16 MB VMEM budget
-    kw = dict(tile=tile, sub=sub, interpret=interpret)
-    kw_j = dict(tile=tile // 2, sub=sub // 2, interpret=interpret)
+    kw = dict(tile=tile, sub=sub, interpret=interpret, kdepth=kdepth)
+    kw_j = dict(tile=tile // 2, sub=sub // 2, interpret=interpret,
+                kdepth=kdepth)
     count = jnp.sum(occ.astype(jnp.float32), axis=(1, 2, 3))[:, 0]
 
     def sig_bound(g, b):

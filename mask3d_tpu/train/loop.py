@@ -66,6 +66,8 @@ def make_model(cfg: Config) -> Mask3D:
         shared_decoder=cfg.model.shared_decoder,
         backbone_name=cfg.model.backbone,
         backbone_impl=cfg.model.backbone_impl,
+        brick_dims=tuple(cfg.model.brick_dims),
+        brick_capacity=cfg.model.brick_capacity,
         pallas_conv_select=cfg.model.pallas_conv_select,
         pallas_window_mode=cfg.model.pallas_window_mode,
         in_channels=cfg.data.in_channels,
@@ -160,6 +162,15 @@ def _sb_kwargs(cfg: Config, batch_grid_dims):
             # pyramid) and never reads PoolMap.parent/kidx — skip their
             # per-row gathers (~8 ms/forward on v5e).
             build_pool_parents=False,
+        )
+    if cfg.model.backbone_impl == "bricked":
+        # Brick convs need no kernel maps, but the model's pooled
+        # pyramid runs in ROW space (bb_grid is None), which reads
+        # PoolMap.parent — keep the parents.
+        return dict(
+            grid_dims=batch_grid_dims,
+            build_block_maps=False,
+            conv1_kernel_size=None,
         )
     return dict(
         grid_dims=batch_grid_dims,

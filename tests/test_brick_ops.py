@@ -176,6 +176,79 @@ def test_conv_tr_matches_dense():
         np.asarray(got_rows), np.asarray(want_rows), rtol=1e-5, atol=1e-5)
 
 
+def test_mask3d_bricked_matches_dense():
+    """Full Mask3D eval forward: bricked level-0 execution matches the
+    dense-grid execution on the same params (B=1, the bricked serving
+    shape) — same scene family and 5e-3 tolerance as the established
+    dense-vs-gather model parity test (test_model.py).
+
+    Scene choice matters: deeper/sparser scenes put pooled attention-mask
+    logits near the sigmoid-0.5 threshold, where ANY impl pair's
+    accumulation noise flips mask bits and cascades (measured: plain
+    gather-vs-dense drops to 68% mask-sign agreement on a 32x16x16
+    uniform-random scatter, identical to bricked-vs-dense there). The
+    floor-scene family below is flip-free across seeds 0-7 for both
+    gather and bricked (<= 1e-3 max logit diff, sweep 2026-08-21)."""
+    from mask3d_tpu.models import Mask3D
+    from mask3d_tpu.sparse import build_sparse_batch
+
+    rng = np.random.default_rng(0)
+    dims = (16, 16, 16)
+    n0 = int(rng.integers(120, 220))
+    pts = np.stack([
+        rng.integers(0, dims[0], n0),
+        rng.integers(0, dims[1], n0),
+        np.minimum(rng.integers(0, 4, n0), dims[2] - 1),
+    ], 1).astype(np.int32)
+    pts = np.unique(pts, axis=0)
+    key = (pts[:, 0] * dims[1] + pts[:, 1]) * dims[2] + pts[:, 2]
+    pts = pts[np.argsort(key)]
+    n = len(pts)
+    cap = 256
+    coords = np.zeros((1, cap, 3), np.int32)
+    coords[0, :n] = pts
+    counts = np.asarray([n], np.int32)
+    dims_arr = np.asarray([dims], np.int32)
+    grid_dims = tuple(
+        tuple(max(1, d >> s) for d in dims) for s in range(5))
+    caps = [128, 64, 32, 16]
+    feats = jnp.ones((1, cap, 1), jnp.float32)
+    raw = jnp.asarray(coords, jnp.float32)
+
+    kw = dict(
+        num_classes=1, hidden_dim=32, dim_feedforward=64, num_queries=5,
+        num_heads=4, num_decoders=2,
+        sample_sizes=(8, 16, 32, 64, 128),
+        backbone_name="Res16UNet14A", conv1_kernel_size=3,
+    )
+    sb_d = build_sparse_batch(
+        coords, counts, dims_arr, caps, conv1_kernel_size=None,
+        build_block_maps=False, grid_dims=grid_dims,
+        build_pool_parents=False)
+    sb_b = build_sparse_batch(
+        coords, counts, dims_arr, caps, conv1_kernel_size=None,
+        build_block_maps=False, grid_dims=grid_dims)
+
+    md = Mask3D(**kw, backbone_impl="dense")
+    mb = Mask3D(**kw, backbone_impl="bricked", brick_dims=(8, 8, 4),
+                brick_capacity=64)
+    variables = md.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        sb_d, feats, raw, True, grid_dims=grid_dims,
+    )
+    out_d = md.apply(variables, sb_d, feats, raw, True,
+                     grid_dims=grid_dims)
+    out_b = mb.apply(variables, sb_b, feats, raw, True,
+                     grid_dims=grid_dims)
+    v = np.asarray(sb_d.levels[0].valid)
+    np.testing.assert_allclose(
+        np.asarray(out_b.pred_class), np.asarray(out_d.pred_class),
+        rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(out_b.pred_masks)[v], np.asarray(out_d.pred_masks)[v],
+        rtol=5e-3, atol=5e-3)
+
+
 def test_instance_norm_matches_dense():
     rng, level, spec, tables, feats = _setup()
     c = feats.shape[-1]

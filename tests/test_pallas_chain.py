@@ -148,9 +148,10 @@ def test_entry_kernel_bitexact_vs_xla_int8():
         (r32 * r32).sum(axis=(1, 2, 3)), rtol=1e-4, atol=1e-3)
 
 
-@pytest.mark.parametrize("cin,planes,n", [(24, 48, 2), (48, 48, 2),
-                                          (24, 48, 1), (48, 48, 3)])
-def test_fused_stage_matches_xla_path(cin, planes, n):
+@pytest.mark.parametrize("cin,planes,n,kdepth",
+                         [(24, 48, 2, 1), (48, 48, 2, 1), (24, 48, 1, 1),
+                          (48, 48, 3, 1), (48, 48, 2, 2)])
+def test_fused_stage_matches_xla_path(cin, planes, n, kdepth):
     """Full fused stage vs the unfused dense int8 block composition,
     within quantize-step tolerance (f32 vs bf16 affine constants)."""
     rng = np.random.default_rng(2 + n)
@@ -169,7 +170,7 @@ def test_fused_stage_matches_xla_path(cin, planes, n):
 
     y, y_bound = pc.fused_basic_stage(
         x, bound, occ, blocks, x.shape[1:4], sigma,
-        interpret=True, **SPEC_KW)
+        interpret=True, kdepth=kdepth, **SPEC_KW)
 
     ref = x
     rb = bound

@@ -37,6 +37,7 @@ OCC_P = 0.108  # measured bench-scene voxel occupancy
 N_ITER = 12
 TILE = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
 SUB = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+KDEPTH = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
 
 def timed(name, fn, *args):
@@ -116,11 +117,13 @@ def main():
     @jax.jit
     def fused_stage(x):
         y, _ = pc.fused_basic_stage(
-            x, bound, occ, blocks, DIMS, sigma, tile=TILE, sub=SUB)
+            x, bound, occ, blocks, DIMS, sigma, tile=TILE, sub=SUB,
+            kdepth=KDEPTH)
         return y
 
     print(f"# B={B} dims={DIMS} cin={CIN} planes={PLANES} occ={OCC_P} "
-          f"tile={TILE} sub={SUB} backend={jax.default_backend()}")
+          f"tile={TILE} sub={SUB} kdepth={KDEPTH} "
+          f"backend={jax.default_backend()}")
     t_x = timed("xla int8 stage (2 blocks)", xla_stage, x)
     t_f = timed("fused pallas chain", fused_stage, x)
     print(f"# speedup: {t_x / t_f:.3f}x  (delta {1e3 * (t_x - t_f):.2f} ms"
