@@ -232,26 +232,66 @@ def halo_pad(bricks, tables: BrickTables, spec: BrickSpec, h: int = 1):
     return out
 
 
+def _halo_pad_range(bricks, nbr_rows, spec: BrickSpec, h: int,
+                    lo: int, size: int):
+    """`halo_pad` for slot rows [lo, lo+size): the padded tensor is the
+    transient-HBM peak of a brick conv (1.6-2.5x the content cells), so
+    `conv_same` builds it per CHUNK; the gather source stays the full
+    brick array (neighbors cross chunk boundaries freely)."""
+    bx, by, bz = spec.brick_dims
+    c = bricks.shape[-1]
+    out = jnp.zeros((size, bx + 2 * h, by + 2 * h, bz + 2 * h, c),
+                    bricks.dtype)
+
+    def src(d, n):
+        return {-1: slice(n - h, n), 0: slice(0, n), 1: slice(0, h)}[d]
+
+    def dst(d, n):
+        return {-1: slice(0, h), 0: slice(h, h + n),
+                1: slice(h + n, h + 2 * n)}[d]
+
+    for k, (dx, dy, dz) in enumerate(_OFFS):
+        piece_src = bricks[:, src(dx, bx), src(dy, by), src(dz, bz), :]
+        if dx == dy == dz == 0:
+            piece = piece_src[lo: lo + size]
+        else:
+            piece = jnp.take(piece_src, nbr_rows[:, k], axis=0)
+        out = out.at[:, dst(dx, bx), dst(dy, by), dst(dz, bz), :].set(piece)
+    return out
+
+
 # ------------------------------------------------------------------ conv ops
 
 
 def conv_same(bricks, weight, occ_bricks, tables, spec, bias=None,
-              compute_dtype=None):
+              compute_dtype=None, chunk: int = 2048):
     """Same-stride submanifold conv on bricks (mirrors
-    `dense_ops.dense_conv_same`). weight [k^3, Cin, Cout]."""
+    `dense_ops.dense_conv_same`). weight [k^3, Cin, Cout].
+
+    `chunk`: slot rows per halo-pad + conv step — bounds the transient
+    halo-padded tensor (the peak-HBM term: 1.6x content at h=1) without
+    changing results; 0 = single pass."""
     k = round(weight.shape[0] ** (1.0 / 3.0))
     assert k**3 == weight.shape[0], weight.shape
     h = (k - 1) // 2
     w = weight.reshape(k, k, k, weight.shape[1], weight.shape[2])
-    x = halo_pad(bricks, tables, spec, h)
     if compute_dtype is not None:
-        x = x.astype(compute_dtype)
+        bricks = bricks.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    out = dense_ops._conv(x, w, (1, 1, 1), "VALID", out_dtype=x.dtype)
-    occ = occ_bricks[: spec.capacity].astype(out.dtype)
-    if bias is not None:
-        out = out + bias.astype(out.dtype)
-    out = out * occ
+    nb = spec.capacity
+    if chunk <= 0 or chunk >= nb:
+        spans = [(0, nb)]
+    else:
+        spans = [(lo, min(chunk, nb - lo)) for lo in range(0, nb, chunk)]
+    outs = []
+    for lo, size in spans:
+        x = _halo_pad_range(bricks, tables.nbr[lo: lo + size], spec, h,
+                            lo, size)
+        o = dense_ops._conv(x, w, (1, 1, 1), "VALID", out_dtype=x.dtype)
+        if bias is not None:
+            o = o + bias.astype(o.dtype)
+        outs.append(o * occ_bricks[lo: lo + size].astype(o.dtype))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return _with_sentinel(out, spec)
 
 

@@ -125,6 +125,19 @@ def test_conv_same_matches_dense(k):
         np.asarray(got_rows), np.asarray(want_rows), rtol=1e-5, atol=1e-5)
 
 
+def test_conv_same_chunked_matches_unchunked():
+    """Slot-chunked halo-pad+conv (the transient-HBM bound) is exact."""
+    rng, level, spec, tables, feats = _setup()
+    c, co = feats.shape[-1], 5
+    w = jnp.asarray(
+        rng.standard_normal((27, c, co)).astype(np.float32) * 0.2)
+    occ_b = brick_ops.occupancy(tables, spec, level.valid)
+    bricks = brick_ops.scatter_rows(feats, tables, spec)
+    full = brick_ops.conv_same(bricks, w, occ_b, tables, spec, chunk=0)
+    chunked = brick_ops.conv_same(bricks, w, occ_b, tables, spec, chunk=24)
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(full))
+
+
 def test_conv_down_matches_dense():
     rng, level, spec, tables, feats = _setup()
     c, co = feats.shape[-1], 7

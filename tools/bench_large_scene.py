@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def make_hall_scene(rng, length=1920, width=160, height=64, clutter=0.01):
+def make_hall_scene(rng, length=1920, width=160, height=64, n_boxes=260):
     """Open-hall surface scan: floor, ceiling, two y-side walls, clutter.
 
     No x-perpendicular wall: in x-major key order such a wall packs a full
@@ -35,6 +35,13 @@ def make_hall_scene(rng, length=1920, width=160, height=64, clutter=0.01):
     scans of this shape (halls, corridors, terrain strips) are the
     gather_pallas use case; boxy multi-room buildings at dense-grid scale
     should shard the scene (sp) or crop instead.
+
+    Clutter is CLUSTERED (furniture-like box surfaces), as in a real
+    scan — a scanner sees object surfaces, not isolated voxels teleported
+    uniformly through the air. (The pre-round-5 version drew uniform
+    random cells; that unphysical distribution puts >= 1 point in ~every
+    brick-sized region, which no spatial-decomposition executor — ours
+    or any blocked-sparse GPU library — can exploit.)
     """
     xs = np.arange(length)
     ys = np.arange(width)
@@ -52,17 +59,27 @@ def make_hall_scene(rng, length=1920, width=160, height=64, clutter=0.01):
                 [wgx.ravel(), np.full(wgx.size, wy), wgz.ravel()], 1
             )
         )
-    # interior clutter (furniture/columns): uniform random cells
-    n_clutter = int(length * width * height * clutter)
-    cl = np.stack(
-        [
-            rng.integers(0, length, n_clutter),
-            rng.integers(0, width, n_clutter),
-            rng.integers(1, height - 1, n_clutter),
-        ],
-        1,
-    )
-    pts.append(cl)
+    # interior clutter: furniture-like boxes (top + 4 side surfaces)
+    for _ in range(n_boxes):
+        sx = int(rng.integers(6, 40))
+        sy = int(rng.integers(6, 24))
+        sz = int(rng.integers(4, 20))
+        x0 = int(rng.integers(0, length - sx))
+        y0 = int(rng.integers(1, width - 1 - sy))
+        bx = np.arange(x0, x0 + sx)
+        by = np.arange(y0, y0 + sy)
+        bz = np.arange(1, 1 + sz)
+        fx, fy = np.meshgrid(bx, by, indexing="ij")
+        pts.append(np.stack(  # top face
+            [fx.ravel(), fy.ravel(), np.full(fx.size, 1 + sz)], 1))
+        wx, wz = np.meshgrid(bx, bz, indexing="ij")
+        for yy in (y0, y0 + sy - 1):
+            pts.append(np.stack(
+                [wx.ravel(), np.full(wx.size, yy), wz.ravel()], 1))
+        wy2, wz2 = np.meshgrid(by, bz, indexing="ij")
+        for xx in (x0, x0 + sx - 1):
+            pts.append(np.stack(
+                [np.full(wy2.size, xx), wy2.ravel(), wz2.ravel()], 1))
     coords = np.concatenate(pts).astype(np.float32)
     coords += rng.normal(scale=0.3, size=coords.shape).astype(np.float32)
     # instance labels: x-segments (content irrelevant to the forward bench)
@@ -116,8 +133,35 @@ def main():
         flush=True,
     )
 
+    # Brick geometry for the "bricked" variant: first brick shape that
+    # divides the bucketed grid dims; capacity = occupied bricks + 15%.
+    brick = next(
+        bd for bd in ((32, 8, 8), (16, 16, 8), (16, 8, 8), (8, 8, 8))
+        if all(int(g) % b == 0 for g, b in zip(gd0, bd))
+    )
+    c_np = np.asarray(batch.coords[0])[: int(np.asarray(batch.counts)[0])]
+    bkeys = np.unique(
+        (c_np[:, 0] // brick[0] * (int(gd0[1]) // brick[1])
+         + c_np[:, 1] // brick[1]) * (int(gd0[2]) // brick[2])
+        + c_np[:, 2] // brick[2]
+    )
+    nb = len(bkeys)
+    brick_cap = -(-int(nb * 1.15) // 256) * 256
+    bcells = nb * brick[0] * brick[1] * brick[2]
+    print(
+        f"bricks {brick}: {nb} occupied of "
+        f"{cells // (brick[0]*brick[1]*brick[2])} slots -> {bcells/1e6:.1f}M "
+        f"brick cells ({bcells/cells:.2f}x of dense; one 96-ch bf16 brick "
+        f"tensor = {brick_cap * brick[0]*brick[1]*brick[2]*96*2/1e9:.2f} GB)",
+        flush=True,
+    )
+
+    if "--dry" in sys.argv:  # host-side geometry check only (CPU-safe)
+        return
+
     results = {}
     variants = (
+        ("bricked", "per_offset"),
         ("gather_pallas", "per_offset"),
         ("gather_pallas+grouped_dx", "grouped_dx"),
         ("gather", "per_offset"),
@@ -130,6 +174,8 @@ def main():
             "model.compute_dtype=bfloat16",
             f"model.backbone_impl={impl}",
             f"model.pallas_window_mode={window_mode}",
+            f"model.brick_dims=[{brick[0]},{brick[1]},{brick[2]}]",
+            f"model.brick_capacity={brick_cap}",
         ])
         state, model, _, _ = init_state(cfg, batch)
 
@@ -169,14 +215,16 @@ def main():
         print(f"{name}: {dt*1e3:.0f} ms/forward = {pps/1e6:.3f}M pts/s",
               flush=True)
 
+    dt_b, pps_b = results["bricked"]
     dt_p, pps_p = results["gather_pallas"]
     dt_g, pps_g = results["gather_pallas+grouped_dx"]
     dt_x, pps_x = results["gather"]
     print(
         f"RESULT large-scene ({n_rows} pts, {cells/1e6:.1f}M cells): "
+        f"bricked {pps_b/1e6:.3f}M | "
         f"gather_pallas {pps_p/1e6:.3f}M (grouped_dx {pps_g/1e6:.3f}M) "
         f"vs XLA gather {pps_x/1e6:.3f}M pts/s "
-        f"({dt_x/dt_p:.2f}x / {dt_x/dt_g:.2f}x)",
+        f"(bricked {dt_x/dt_b:.2f}x of gather)",
         flush=True,
     )
 
