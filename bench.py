@@ -305,6 +305,7 @@ def main(batch_size: int = 8):
     #   fixed lag. Three+ concurrent RPC streams were measured to contend;
     #   this split (1 put stream + 1 dispatch/fetch stream) does not.
     LAG = 4
+    FETCH_GROUP = 4
 
     def run_window():
         """One timed 48-batch window. Returns (pts/s, acct, sacct)."""
@@ -357,18 +358,23 @@ def main(batch_size: int = 8):
             th.start()
         st = threading.Thread(target=stager, daemon=True)
         st.start()
+        # Fetch in GROUPS of FETCH_GROUP batches with ONE device_get RPC:
+        # every tunnel RPC costs ~15-25 ms and serializes with the main
+        # thread, so per-batch fetches paid that latency 48 times; the
+        # group fetch pays it 12 times for the same bytes (all 48
+        # batches' pred_class still materialize on host inside the timed
+        # window — asserted below).
         for _ in range(NUM_BATCHES):
             host, args = _timed("starve", sq.get)
             n_points += int(np.asarray(host.device.counts).sum())
             pending.append(_timed("dispatch", run_one, args))
-            if len(pending) > LAG:
-                fetched.append(
-                    _timed("fetch", jax.device_get, pending.pop(0)[0])
-                )
+            if len(pending) >= LAG + FETCH_GROUP:
+                grp = [pending.pop(0)[0] for _ in range(FETCH_GROUP)]
+                fetched.extend(_timed("fetch", jax.device_get, grp))
         while pending:
-            fetched.append(
-                _timed("fetch", jax.device_get, pending.pop(0)[0])
-            )
+            grp = [p[0] for p in pending]
+            pending.clear()
+            fetched.extend(_timed("fetch", jax.device_get, grp))
         total_time = time.perf_counter() - t0
         acct["other"] = total_time - sum(acct.values())
         assert len(fetched) == NUM_BATCHES
