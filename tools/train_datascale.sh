@@ -71,6 +71,7 @@ while true; do
         "data.grid_dims_cap=[$GRID]" \
         'data.point_bucket_multiple=65536' \
         'trainer.grad_accum_steps=16' \
+        'data.test_batch_size=4' \
         'data.volume_augmentations=stru3d' \
         'model.remat_backbone=true' \
         'optimizer.lr=0.0003' \
