@@ -181,6 +181,10 @@ class ModelConfig:
     # build. Parity gates: tests/test_pallas_chain.py +
     # tests/test_e2e.py int8 variants.
     pallas_chain: bool = False
+    # TPU-specific: run narrow (<= 32-ch) identity-residual stages in the
+    # z-folded layout (dense_ops.dense_basic_stage_folded) — kills the
+    # 32->128 lane-padding waste of the 5D layout on the stage-1 chain.
+    fold_small_stages: bool = False
     # TPU-specific: promise that input features are constant ones (true
     # for every room dataset here — datasets.py builds np.ones features);
     # the dense stem then reads the occupancy grid instead of scattering

@@ -474,6 +474,10 @@ class Res16UNetBase(nn.Module):
     # IN affine / relu / quantize / residual join fused in (probe-guarded).
     pallas_chain: bool = False
     unit_features: bool = False  # input features promised constant ones
+    # Run narrow (<= 32-ch) identity-residual stages in the z-folded
+    # layout (dense_ops.dense_basic_stage_folded) — same lane-padding
+    # disease the fused stem fixes, applied to the whole stage-1 chain.
+    fold_small_stages: bool = False
     PLANES: Sequence[int] = (32, 64, 128, 256, 256, 256, 256, 256)
     LAYERS: Sequence[int] = (2, 2, 2, 2, 2, 2, 2, 2)
     INIT_DIM: int = 32
@@ -665,6 +669,37 @@ class Res16UNetBase(nn.Module):
             if rows >= _pc.MIN_ROWS and _pc.pallas_chain_available():
                 return self._blocks_fused(
                     ctx, stage, x, level_idx, cin, planes, n, bin_)
+        if (
+            self.fold_small_stages
+            and self.impl == "dense"
+            and self.BLOCK == "basic"
+            and not self.SE
+            and cin == planes
+            and planes <= 32
+            and self.sp_axis is None
+            and not isinstance(x, dense_ops.QGrid)
+        ):
+            blocks = []
+            for i in range(n):
+                name = f"block{stage}_{i}"
+                blk = {"w1": self._kernel(f"{name}_conv1", 27, planes,
+                                          planes)}
+                blk["g1"], blk["b1"] = self._norm_params(f"{name}_norm1",
+                                                         planes)
+                blk["w2"] = self._kernel(f"{name}_conv2", 27, planes,
+                                         planes)
+                blk["g2"], blk["b2"] = self._norm_params(f"{name}_norm2",
+                                                         planes)
+                blocks.append(blk)
+            y = dense_ops.dense_basic_stage_folded(
+                x, ctx.occ[level_idx], blocks,
+                compute_dtype=self.compute_dtype)
+            bnd = bin_
+            for blk in blocks:
+                b2 = self._act_bound(blk["g2"], blk["b2"])
+                bnd = None if (bnd is None or b2 is None) else b2 + bnd
+            return y, bnd
+
         block = (
             self._block_bottleneck if self.BLOCK == "bottleneck"
             else self._block

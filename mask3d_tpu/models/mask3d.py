@@ -348,6 +348,7 @@ class Mask3D(nn.Module):
     # Fused Pallas int8 block-chain for >=96-ch stride-1 block stacks
     # (sparse/pallas_chain.py; needs int8_stride1 + int8_act_sigma).
     pallas_chain: bool = False
+    fold_small_stages: bool = False
     # Promise that input features are constant ones (the reference's room
     # configs set add_colors: false, `mask3d/conf/data/indoor.yaml` — every
     # dataset here builds np.ones features). The dense stem then reads the
@@ -406,6 +407,7 @@ class Mask3D(nn.Module):
             int8_residual=self.int8_residual,
             int8_act_sigma=self.int8_act_sigma,
             pallas_chain=self.pallas_chain,
+            fold_small_stages=self.fold_small_stages,
             unit_features=self.unit_features,
             name="backbone",
         )

@@ -350,6 +350,75 @@ def dense_stem_fused(x, weight, occ, gamma, beta, bias=None,
     return out.reshape(b, gx, gy, gz, cout)
 
 
+def dense_basic_stage_folded(x, occ, blocks, compute_dtype=None, eps=1e-5):
+    """An identity-residual BasicBlock stack in the z-FOLDED layout.
+
+    The narrow (<= 32-ch) stages pad to 128 lanes in the 5D layout — 4x
+    wasted HBM on every conv/norm/relu pass plus relayout copies (the
+    stem had the same disease; `dense_stem_fused`). This runs the WHOLE
+    stage folded: one reshape in, per-block [banded conv2d -> IN -> relu
+    -> banded conv2d -> IN -> +residual -> relu] with the norm stats
+    computed fold-aware, one reshape out. Numerically equivalent to the
+    unfolded `dense_conv_same`/`dense_instance_norm` chain (the banded
+    weight adds exact-zero products only; oracle-tested in
+    tests/test_dense_ops.py).
+
+    blocks: per-block dicts w1,g1,b1,w2,g2,b2 with cin == cout == C
+    (identity residuals — the reference's stage-1/2 shape,
+    `mask3d/models/resnet_block.py:7-40`).
+    """
+    b, gx, gy, gz, c = x.shape
+    dt = compute_dtype or x.dtype
+    k = round(blocks[0]["w1"].shape[0] ** (1.0 / 3.0))
+    band = jnp.asarray(
+        np.stack([np.eye(gz, gz, k=-(dz - k // 2)) for dz in range(k)]),
+        dt,
+    )
+
+    def w2d(w):
+        wk = w.reshape(k, k, k, c, c).astype(dt)
+        return jnp.einsum("dzo,xydcf->xyzcof", band, wk).reshape(
+            k, k, gz * c, gz * c)
+
+    xf = x.astype(dt).reshape(b, gx, gy, gz * c)
+    occf = occ.reshape(b, gx, gy, gz)
+    occy = jnp.repeat(
+        occf.astype(dt), c, axis=-1, total_repeat_length=gz * c)
+    cnt = jnp.maximum(
+        jnp.sum(occf.astype(jnp.float32), axis=(1, 2, 3)), 1.0
+    )[:, None]
+
+    def conv(h, w):
+        return jax.lax.conv_general_dilated(
+            h, w2d(w), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=h.dtype,
+        )
+
+    def norm(yf, gamma, beta):
+        """Masked-IN affine consts (kf, tf) tiled over the fold."""
+        ym = (yf * occy).astype(jnp.float32)
+        s1 = jnp.sum(ym, axis=(1, 2)).reshape(b, gz, c).sum(axis=1)
+        s2 = jnp.sum(ym * ym, axis=(1, 2)).reshape(b, gz, c).sum(axis=1)
+        mean = s1 / cnt
+        var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
+        rs = jax.lax.rsqrt(var + eps)
+        kk = (rs * gamma).astype(dt)
+        tt = (beta - mean * rs * gamma).astype(dt)
+        kf = jnp.tile(kk, (1, gz))[:, None, None, :]
+        tf = jnp.tile(tt, (1, gz))[:, None, None, :]
+        return kf, tf
+
+    for blk in blocks:
+        y1 = conv(xf, blk["w1"])
+        k1, t1 = norm(y1, blk["g1"], blk["b1"])
+        h = jnp.maximum(y1 * occy * k1 + occy * t1, 0)
+        y2 = conv(h, blk["w2"])
+        k2, t2 = norm(y2, blk["g2"], blk["b2"])
+        xf = jnp.maximum(y2 * occy * k2 + occy * t2 + xf, 0)
+    return xf.reshape(b, gx, gy, gz, c)
+
+
 def dense_conv_down(x, weight, occ_coarse, bias=None, compute_dtype=None):
     """Stride-2 kernel-2 conv; odd grid dims are zero-padded up (the
     missing children of a boundary coarse cell are exactly the gather

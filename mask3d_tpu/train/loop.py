@@ -81,6 +81,7 @@ def make_model(cfg: Config) -> Mask3D:
         int8_residual=cfg.model.int8_residual,
         int8_act_sigma=cfg.model.int8_act_sigma,
         pallas_chain=cfg.model.pallas_chain,
+        fold_small_stages=cfg.model.fold_small_stages,
         unit_features=cfg.model.unit_features,
     )
 

@@ -297,6 +297,46 @@ def test_dense_conv_same_zfold_matches_direct(rng):
         )
 
 
+def test_dense_basic_stage_folded_matches_unfolded(rng):
+    """The z-folded identity-residual BasicBlock stage equals the 5D
+    conv/IN/relu/residual chain (the stage-1 fast path)."""
+    level, _ = make_level(rng)
+    occ = dense_ops.occupancy(level, GRID)
+    c, n = 8, 2
+    feats = rng.normal(size=(2, level.capacity, c)).astype(np.float32)
+    feats[~np.asarray(level.valid)] = 0
+    x = dense_ops.scatter_rows(jnp.asarray(feats), level, GRID)
+    blocks = []
+    for _i in range(n):
+        blocks.append({
+            "w1": jnp.asarray(
+                rng.normal(size=(27, c, c)).astype(np.float32) * 0.2),
+            "g1": jnp.asarray(
+                (1 + 0.2 * rng.normal(size=c)).astype(np.float32)),
+            "b1": jnp.asarray(
+                (0.1 * rng.normal(size=c)).astype(np.float32)),
+            "w2": jnp.asarray(
+                rng.normal(size=(27, c, c)).astype(np.float32) * 0.2),
+            "g2": jnp.asarray(
+                (1 + 0.2 * rng.normal(size=c)).astype(np.float32)),
+            "b2": jnp.asarray(
+                (0.1 * rng.normal(size=c)).astype(np.float32)),
+        })
+
+    ref = x
+    for blk in blocks:
+        h = dense_ops.dense_conv_same(ref, blk["w1"], occ)
+        h = jnp.maximum(
+            dense_ops.dense_instance_norm(h, occ, blk["g1"], blk["b1"]), 0)
+        h = dense_ops.dense_conv_same(h, blk["w2"], occ)
+        h = dense_ops.dense_instance_norm(h, occ, blk["g2"], blk["b2"])
+        ref = jnp.maximum(h + ref, 0)
+
+    got = dense_ops.dense_basic_stage_folded(x, occ, blocks)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_dense_stem_fused_matches_unfused(rng):
     """Fused stem (zfold conv + InstanceNorm + ReLU in the folded layout)
     is numerically identical to the unfused chain."""

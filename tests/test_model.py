@@ -243,6 +243,27 @@ def test_mask3d_dense_matches_gather():
     )
 
 
+def test_fold_small_stages_matches_unfolded():
+    """`fold_small_stages` routes stage 1 through the z-folded chain with
+    the SAME param tree (checkpoint-interchangeable) and matching output."""
+    rng = np.random.default_rng(3)
+    coords, counts, dims = make_scene_batch(rng, dims=(16, 16, 16))
+    grid_dims = tuple((16 >> s, 16 >> s, 16 >> s) for s in range(5))
+    caps = [128, 64, 32, 16]
+    feats = jnp.ones((coords.shape[0], coords.shape[1], 1), jnp.float32)
+    sb = build_sparse_batch(coords, counts, dims, caps,
+                            conv1_kernel_size=None, build_block_maps=False,
+                            grid_dims=grid_dims, build_pool_parents=False)
+    m0 = Res16UNet14A(in_channels=1, conv1_kernel_size=3, impl="dense")
+    m1 = Res16UNet14A(in_channels=1, conv1_kernel_size=3, impl="dense",
+                      fold_small_stages=True)
+    params = m0.init(jax.random.PRNGKey(0), feats, sb, grid_dims)
+    out0, fm0 = m0.apply(params, feats, sb, grid_dims)
+    out1, fm1 = m1.apply(params, feats, sb, grid_dims)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out0), rtol=2e-4, atol=2e-4)
+
+
 def test_bottleneck_dense_matches_gather():
     """Bottleneck path parity: dense-grid execution == gather execution."""
     from mask3d_tpu.models.backbone import Res16UNet50
