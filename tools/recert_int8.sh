@@ -44,6 +44,7 @@ COMMON=(
     'data.valid_scenes_file_path=null'
     "data.min_grid_dims=[$GRID]"
     'data.point_bucket_multiple=65536'
+    'data.test_batch_size=4'
     'general.use_dbscan=false'
     'general.scores_threshold=0.0'
     'general.export_las=false'
